@@ -1,0 +1,475 @@
+"""Dataset loaders — host-side I/O, device-resident camera/image tables.
+
+Six loaders with the reference's duck-typed interface (SURVEY.md §2.2,
+ref:models/dataset.py):
+
+  DTUDataset              ref:dataset.py:41-196   (cameras_sphere.npz, P-matrix
+                          decomposition, /256 image normalization, bbox from
+                          scale mats)
+  Sk3dDataset             ref:dataset.py:199-367  (fixed tis_right paths, ROI
+                          sampling, constant 255/256 mask)
+  SyntheticDataset        ref:dataset.py:370-519  (transforms_{split}.json,
+                          EXR rgb, blender convert_mat, scale 2, test split
+                          carries albedo/rough GT)
+  ShinyDataset            ref:dataset.py:522-662  (disp-tiff or alpha masks)
+  GlossySyntheticDataset  ref:dataset.py:672-790  (pickled K/pose, depth<0.9
+                          masks, w2c 'nero' rays)
+  GlossyRealDataset       ref:dataset.py:798-964  (cache.pkl cameras, point-
+                          cloud normalization with per-scene up/forward)
+
+Common interface: n_images, H, W, images/masks [n,H,W,*] (jnp, device),
+intrinsics_all(_inv), pose_all, object_bbox_min/max, gen_rays_at,
+gen_random_rays_at, gen_rays_between, near_far_from_sphere, image_at.
+
+TPU note: gen_random_rays_at runs entirely on device (see data.rays); the
+host is only touched at construction and for image_at previews.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from glob import glob
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import images as I
+from . import rays as R
+from .cameras import interpolate_pose, load_K_Rt_from_P
+
+
+def _read_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class BaseDataset:
+    """Shared device-side ray-generation plumbing."""
+
+    convention = "c2w"
+    mask_ones = False
+    sample_roi_prob = 0.0
+    roi_boxes = None
+
+    def _finalize(self, images_np, masks_np, intrinsics_np, poses_np):
+        self.images_np = images_np
+        self.masks_np = masks_np
+        self.images = jnp.asarray(images_np, jnp.float32)
+        self.masks = jnp.asarray(masks_np, jnp.float32)
+        intr = np.asarray(intrinsics_np, np.float32)
+        if intr.shape[-1] == 3:          # pad 3x3 K to 4x4
+            intr4 = np.tile(np.eye(4, dtype=np.float32), (len(intr), 1, 1))
+            intr4[:, :3, :3] = intr
+            intr = intr4
+        self.intrinsics_all = jnp.asarray(intr)
+        self.intrinsics_all_inv = jnp.linalg.inv(self.intrinsics_all)
+        self.pose_all = jnp.asarray(poses_np, jnp.float32)
+        self.focal = float(self.intrinsics_all[0, 0, 0])
+        self.n_images = len(images_np)
+        self.H, self.W = images_np.shape[1], images_np.shape[2]
+        self.image_pixels = self.H * self.W
+
+    # -- interface ----------------------------------------------------------
+
+    def gen_rays_at(self, img_idx: int, resolution_level: int = 1):
+        return R.gen_rays_grid(self.intrinsics_all_inv[img_idx],
+                               self.pose_all[img_idx], self.H, self.W,
+                               resolution_level, convention=self.convention)
+
+    def gen_random_rays_at(self, img_idx, batch_size: int, key=None):
+        """Returns (rays_o, rays_d, color, mask[:, :1]), all on device."""
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        roi_box = None
+        if self.sample_roi_prob > 0.0 and self.roi_boxes is not None:
+            roi_box = tuple(int(v) for v in self.roi_boxes[int(img_idx)])
+        return R.gen_random_rays(
+            key, self.images, self.masks, self.intrinsics_all_inv,
+            self.pose_all, jnp.asarray(img_idx), batch_size,
+            convention=self.convention, mask_ones=self.mask_ones,
+            roi_box=roi_box, roi_prob=self.sample_roi_prob)
+
+    def gen_rays_between(self, idx_0: int, idx_1: int, ratio: float,
+                         resolution_level: int = 1):
+        pose = interpolate_pose(np.asarray(self.pose_all[idx_0]),
+                                np.asarray(self.pose_all[idx_1]), ratio)
+        return R.gen_rays_grid(self.intrinsics_all_inv[0], jnp.asarray(pose),
+                               self.H, self.W, resolution_level,
+                               convention="c2w")
+
+    def near_far_from_sphere(self, rays_o, rays_d):
+        return R.near_far_from_sphere(rays_o, rays_d)
+
+    def image_at(self, idx: int, resolution_level: int):
+        img = self.images_np[idx] * 256.0
+        return np.clip(I.imresize(img, self.W // resolution_level,
+                                  self.H // resolution_level), 0, 255)
+
+
+class DTUDataset(BaseDataset):
+    """DTU scans: cameras_sphere.npz + image/ + mask/. ref:dataset.py:41-196."""
+
+    def __init__(self, conf):
+        self.conf = conf
+        self.data_dir = conf["data_dir"]
+        render_cameras_name = conf.get("render_cameras_name",
+                                       "cameras_sphere.npz")
+        camera_dict = np.load(os.path.join(self.data_dir, render_cameras_name))
+        self.camera_dict = camera_dict
+        self.images_lis = sorted(glob(os.path.join(self.data_dir, "image/*.png")))
+        n = len(self.images_lis)
+        images_np = np.stack(
+            [I.imread_bgr_norm256(p) for p in self.images_lis])
+        self.masks_lis = sorted(glob(os.path.join(self.data_dir, "mask/*.png")))
+        masks_np = np.stack([I.imread_bgr_norm256(p) for p in self.masks_lis])
+
+        self.world_mats_np = [camera_dict[f"world_mat_{i}"].astype(np.float32)
+                              for i in range(n)]
+        self.scale_mats_np = [camera_dict[f"scale_mat_{i}"].astype(np.float32)
+                              for i in range(n)]
+        intr, poses = [], []
+        for scale_mat, world_mat in zip(self.scale_mats_np, self.world_mats_np):
+            P = (world_mat @ scale_mat)[:3, :4]
+            K, pose = load_K_Rt_from_P(P)
+            intr.append(K)
+            poses.append(pose)
+        self._finalize(images_np.astype(np.float32),
+                       masks_np.astype(np.float32),
+                       np.stack(intr), np.stack(poses))
+
+        # bbox transformed through the scale mats (identity product here,
+        # kept for parity with ref:dataset.py:99-111)
+        bbox_min = np.array([-1.01, -1.01, -1.01, 1.0])
+        bbox_max = np.array([1.01, 1.01, 1.01, 1.0])
+        object_scale_mat = self.scale_mats_np[0]
+        inv0 = np.linalg.inv(self.scale_mats_np[0])
+        self.object_bbox_min = (inv0 @ object_scale_mat @ bbox_min[:, None])[:3, 0]
+        self.object_bbox_max = (inv0 @ object_scale_mat @ bbox_max[:, None])[:3, 0]
+
+    def image_at(self, idx, resolution_level):
+        img = I.imread_bgr_norm256(self.images_lis[idx]) * 256.0
+        return np.clip(I.imresize(img, self.W // resolution_level,
+                                  self.H // resolution_level), 0, 255)
+
+
+class Sk3dDataset(BaseDataset):
+    """Sk3d scans with ROI-weighted pixel sampling. ref:dataset.py:199-367."""
+
+    mask_ones = True
+
+    def __init__(self, conf):
+        self.conf = conf
+        self.data_dir = conf["data_dir"]
+        cam_rel = "tis_right/idr_input/cameras.npz"
+        camera_dict = np.load(os.path.join(self.data_dir, cam_rel))
+        self.images_lis = sorted(glob(os.path.join(
+            self.data_dir, "tis_right/rgb/undistorted/ambient@best/*.png")))
+        n = len(self.images_lis)
+        images_np = np.stack([I.imread_bgr_norm256(p) for p in self.images_lis])
+
+        self.world_mats_np = [camera_dict[f"world_mat_{i}"].astype(np.float32)
+                              for i in range(n)]
+        self.scale_mats_np = [camera_dict[f"scale_mat_{i}"].astype(np.float32)
+                              for i in range(n)]
+        intr, poses = [], []
+        for scale_mat, world_mat in zip(self.scale_mats_np, self.world_mats_np):
+            K, pose = load_K_Rt_from_P((world_mat @ scale_mat)[:3, :4])
+            intr.append(K)
+            poses.append(pose)
+        masks_np = np.ones_like(images_np, dtype=np.float32)
+        self._finalize(images_np.astype(np.float32), masks_np,
+                       np.stack(intr), np.stack(poses))
+
+        bbox_min = np.array([-1.01, -1.01, -1.01, 1.0])
+        bbox_max = np.array([1.01, 1.01, 1.01, 1.0])
+        object_scale_mat = camera_dict["scale_mat_0"]
+        inv0 = np.linalg.inv(self.scale_mats_np[0])
+        self.object_bbox_min = (inv0 @ object_scale_mat @ bbox_min[:, None])[:3, 0]
+        self.object_bbox_max = (inv0 @ object_scale_mat @ bbox_max[:, None])[:3, 0]
+
+        self.roi_boxes = [camera_dict[f"roi_box_{i}"] for i in range(n)]
+        self.sample_roi_prob = float(conf.get("sample_roi_prob", 0.0))
+        assert 0.0 <= self.sample_roi_prob <= 1.0
+
+    def image_at(self, idx, resolution_level):
+        img = I.imread_bgr_norm256(self.images_lis[idx]) * 256.0
+        return np.clip(I.imresize(img, self.W // resolution_level,
+                                  self.H // resolution_level), 0, 255)
+
+
+_BLENDER_CONVERT = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+
+class SyntheticDataset(BaseDataset):
+    """Blender-style transforms_{split}.json with EXR rgb (train) and
+    albedo/roughness GT (test). ref:dataset.py:370-519."""
+
+    def __init__(self, conf, frame_skip: int = 1, split: str = "train"):
+        self.conf = conf
+        self.split = split
+        self.data_dir = conf["data_dir"]
+        with open(os.path.join(self.data_dir,
+                               f"transforms_{split}.json")) as fp:
+            meta = json.load(fp)
+
+        image_paths, mask_paths, rough_paths, albedo_paths, poses = \
+            [], [], [], [], []
+        for frame in meta["frames"]:
+            poses.append(np.array(frame["transform_matrix"]))
+            fp_ = os.path.join(self.data_dir, frame["file_path"])
+            if split == "train":
+                image_paths.append(fp_ + "_rgb.exr")
+                mask_paths.append(fp_ + "_mask.png")
+            else:
+                image_paths.append(fp_ + "_rgba.png")
+                rough_paths.append(fp_ + "_rough.png")
+                albedo_paths.append(fp_ + "_albedo.png")
+
+        first = I.load_rgb(image_paths[0])
+        img_h, img_w = first.shape[:2]
+        focal = 0.5 * img_w / np.tan(0.5 * float(meta["camera_angle_x"]))
+        poses = np.array(poses)
+        poses[..., 3] /= 2.0                          # scale 2, ref:409-410
+        image_paths = image_paths[::frame_skip]
+        poses = poses[::frame_skip]
+        self.images_lis = self.image_paths = image_paths
+
+        K = np.array([[focal, 0, img_w / 2], [0, focal, img_h / 2],
+                      [0, 0, 1]], np.float32)
+        images_np = np.stack([I.load_rgb(p) for p in image_paths])
+        if split == "train":
+            masks_np = np.stack([I.load_mask(p) for p in mask_paths])
+            masks_np = masks_np.astype(np.float32)[..., None].repeat(3, -1)
+        else:
+            masks_np = np.ones_like(images_np)
+            self.rough = np.stack([I.load_rgb(p) for p in rough_paths])
+            self.albedo = np.stack([I.load_rgb(p) for p in albedo_paths])
+
+        poses4 = np.tile(np.eye(4, dtype=np.float32), (len(poses), 1, 1))
+        poses4[:, :poses.shape[1]] = poses
+        poses4 = poses4 @ _BLENDER_CONVERT
+        self._finalize(images_np, masks_np,
+                       np.tile(K, (len(image_paths), 1, 1)), poses4)
+        self.object_bbox_min = np.array([-1.01, -1.01, -1.01])
+        self.object_bbox_max = np.array([1.01, 1.01, 1.01])
+
+    def image_at(self, idx, resolution_level):
+        img = np.power(I.load_rgb(self.images_lis[idx]), 1.0 / 2.2) * 255
+        return np.clip(I.imresize(img, self.W // resolution_level,
+                                  self.H // resolution_level), 0, 255)
+
+
+class ShinyDataset(SyntheticDataset):
+    """Shiny-Blender scenes; masks from _disp.tiff (or _alpha.png for
+    'ball').  ref:dataset.py:522-662.
+
+    The reference's `scale_mat` attribute is commented out there
+    (ref:dataset.py:561) yet read by validate_mesh_shiny
+    (ref:exp_runner.py:564); we define it so the mesh-eval path works.
+    """
+
+    def __init__(self, conf, frame_skip: int = 1, split: str = "train"):
+        self.conf = conf
+        self.split = split
+        self.data_dir = conf["data_dir"]
+        with open(os.path.join(self.data_dir,
+                               f"transforms_{split}.json")) as fp:
+            meta = json.load(fp)
+
+        image_paths, mask_paths, poses = [], [], []
+        for frame in meta["frames"]:
+            poses.append(np.array(frame["transform_matrix"]))
+            fp_ = os.path.join(self.data_dir, frame["file_path"])
+            image_paths.append(fp_ + ".png")
+            if "ball" not in self.data_dir:
+                mask_paths.append(fp_ + "_disp.tiff")
+            else:
+                mask_paths.append(fp_ + "_alpha.png")
+
+        first = I.load_rgb(image_paths[0])
+        img_h, img_w = first.shape[:2]
+        focal = 0.5 * img_w / np.tan(0.5 * float(meta["camera_angle_x"]))
+        poses = np.array(poses)
+        poses[..., 3] /= 2.0
+        self.scale_mat = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+        image_paths = image_paths[::frame_skip]
+        poses = poses[::frame_skip]
+        self.images_lis = self.image_paths = image_paths
+
+        images_np = np.stack([I.load_rgb(p) for p in image_paths])
+        masks = []
+        for p in mask_paths:
+            if "ball" not in self.data_dir:
+                import tifffile
+                disp = np.asarray(tifffile.imread(p), np.float32)
+                disp = (disp > 1e-6).astype(np.float32)
+            else:
+                disp = I.imread_bgr_norm256(p)
+                disp = (disp > 0.5).astype(np.float32).mean(-1)
+            masks.append(disp)
+        masks_np = np.stack(masks)[..., None].repeat(3, -1).astype(np.float32)
+
+        K = np.array([[focal, 0, img_w / 2], [0, focal, img_h / 2],
+                      [0, 0, 1]], np.float32)
+        poses4 = np.tile(np.eye(4, dtype=np.float32), (len(poses), 1, 1))
+        poses4[:, :poses.shape[1]] = poses
+        poses4 = poses4 @ _BLENDER_CONVERT
+        self._finalize(images_np, masks_np,
+                       np.tile(K, (len(image_paths), 1, 1)), poses4)
+        self.object_bbox_min = np.array([-1.01, -1.01, -1.01])
+        self.object_bbox_max = np.array([1.01, 1.01, 1.01])
+
+
+class GlossySyntheticDataset(BaseDataset):
+    """NeRO glossy-synthetic: {i}.png + {i}-depth.png + {i}-camera.pkl,
+    world->camera poses. ref:dataset.py:672-790."""
+
+    convention = "w2c"
+
+    def __init__(self, conf, frame_skip: int = 1):
+        self.conf = conf
+        self.data_dir = conf["data_dir"]
+        img_num = len(glob(f"{self.data_dir}/*.pkl"))
+        cams = [_read_pickle(f"{self.data_dir}/{k}-camera.pkl")
+                for k in range(img_num)]
+        self.images_lis = [f"{self.data_dir}/{k}.png" for k in range(img_num)]
+
+        images, masks, intr, poses = [], [], [], []
+        for k in range(img_num):
+            images.append(I.imread_bgr_norm256(f"{self.data_dir}/{k}.png")[..., :3])
+            depth = I.imread_bgr_norm256(f"{self.data_dir}/{k}-depth.png")[..., :3]
+            masks.append((depth < 0.9).astype(np.float32))
+            intr.append(cams[k][1])
+            pose = np.asarray(cams[k][0], np.float32).copy()
+            poses.append(pose)
+
+        poses34 = np.stack(poses).astype(np.float32)       # [n, 3, 4]
+        poses4 = np.tile(np.eye(4, dtype=np.float32), (img_num, 1, 1))
+        poses4[:, :3, :4] = poses34
+        self._finalize(np.stack(images).astype(np.float32),
+                       np.stack(masks), np.stack(intr), poses4)
+        self.object_bbox_min = np.array([-1.01, -1.01, -1.01])
+        self.object_bbox_max = np.array([1.01, 1.01, 1.01])
+
+    def image_at(self, idx, resolution_level):
+        img = self.images_np[idx] * 256.0
+        return np.clip(I.imresize(img, self.W // resolution_level,
+                                  self.H // resolution_level), 0, 255)
+
+
+# per-scene gravity frame for NeRO glossy-real captures
+# (ref:dataset.py:807-813)
+GLOSSY_REAL_META = {
+    "bear": {"forward": [0.539944, -0.342791, 0.341446],
+             "up": [0.0512875, -0.645326, -0.762183]},
+    "coral": {"forward": [0.004226, -0.235523, 0.267582],
+              "up": [0.0477973, -0.748313, -0.661622]},
+    "maneki": {"forward": [-2.336584, -0.406351, 0.482029],
+               "up": [-0.0117387, -0.738751, -0.673876]},
+    "bunny": {"forward": [0.437076, -1.672467, 1.436961],
+              "up": [-0.0693234, -0.644819, -0.761185]},
+    "vase": {"forward": [-0.911907, -0.132777, 0.180063],
+             "up": [-0.01911, -0.738918, -0.673524]},
+}
+
+
+class GlossyRealDataset(BaseDataset):
+    """NeRO glossy-real captures; COLMAP point cloud drives unit-sphere
+    normalization. ref:dataset.py:798-964."""
+
+    convention = "w2c"
+
+    def __init__(self, conf, frame_skip: int = 1):
+        self.conf = conf
+        self.data_dir = conf["data_dir"]
+        self.object_name = self.data_dir.rstrip("/").split("/")[-2]
+        self.poses, self.Ks, self.image_names, self.img_ids = _read_pickle(
+            f"{self.data_dir}/cache.pkl")
+        self._normalize()
+
+        first = I.imread_bgr_norm256(
+            f"{self.data_dir}/images/{self.image_names[self.img_ids[0]]}")
+        h, w = first.shape[:2]
+        max_len = 1024
+        ratio = float(max_len) / max(h, w)
+        th, tw = int(ratio * h), int(ratio * w)
+        rh, rw = th / h, tw / w
+
+        images, intr, poses = [], [], []
+        self.images_lis = []
+        for img_id in self.img_ids:
+            path = f"{self.data_dir}/images_raw_1024/{self.image_names[img_id]}"
+            self.images_lis.append(path)
+            images.append(I.imread_bgr_norm256(path)[..., :3])
+            K = np.diag([rw, rh, 1.0]) @ self.Ks[img_id]
+            intr.append(K)
+            poses.append(self.poses[img_id])
+
+        poses34 = np.stack(poses).astype(np.float32)
+        poses4 = np.tile(np.eye(4, dtype=np.float32), (len(poses), 1, 1))
+        poses4[:, :3, :4] = poses34
+        images_np = np.stack(images).astype(np.float32)
+        self._finalize(images_np, np.ones_like(images_np),
+                       np.stack(intr).astype(np.float32), poses4)
+        self.object_bbox_min = np.array([-1.01, -1.01, -1.01])
+        self.object_bbox_max = np.array([1.01, 1.01, 1.01])
+
+    def _load_point_cloud(self, path):
+        from ..meshing.ply import read_ply_points
+        return read_ply_points(path)
+
+    @staticmethod
+    def _compute_rotation(vert, forward):
+        y = np.cross(vert, forward)
+        x = np.cross(y, vert)
+        vert = vert / np.linalg.norm(vert)
+        x = x / np.linalg.norm(x)
+        y = y / np.linalg.norm(y)
+        return np.stack([x, y, vert], 0)
+
+    def _normalize(self):
+        ref_points = self._load_point_cloud(
+            f"{self.data_dir}/object_point_cloud.ply")
+        max_pt, min_pt = np.max(ref_points, 0), np.min(ref_points, 0)
+        center = (max_pt + min_pt) * 0.5
+        offset = -center
+        scale = 1.0 / np.max(np.linalg.norm(ref_points - center[None], 2, 1))
+        meta = GLOSSY_REAL_META[self.object_name]
+        up = np.asarray(meta["up"], np.float32)
+        forward = np.asarray(meta["forward"], np.float32)
+        up, forward = up / np.linalg.norm(up), forward / np.linalg.norm(forward)
+        R_rec = self._compute_rotation(up, forward)
+        self.ref_points = scale * (ref_points + offset) @ R_rec.T
+        self.scale_rect, self.offset_rect, self.R_rect = scale, offset, R_rec
+        for img_id, pose in self.poses.items():
+            Rm, t = pose[:, :3], pose[:, 3]
+            self.poses[img_id] = np.concatenate(
+                [Rm @ R_rec.T, ((t - Rm @ offset) * scale)[:, None]], -1)
+
+
+# -- dispatch used by the CLIs (stage-1 type strings at
+# ref:exp_runner.py:44-55; stage-2/3 strings at ref:lvis.py:44-51) ----------
+
+DATASET_TYPES = {
+    "dtu": DTUDataset,
+    "sk3d": Sk3dDataset,
+    "indisg_synthetic": SyntheticDataset,
+    "indisg_shiny": ShinyDataset,
+    "glossy_synthetic": GlossySyntheticDataset,
+    "glossy_real": GlossyRealDataset,
+    # stage-2/3 aliases
+    "synthetic": SyntheticDataset,
+    "shiny": ShinyDataset,
+}
+
+
+def make_dataset(type_name: str, conf) -> BaseDataset:
+    try:
+        cls = DATASET_TYPES[type_name]
+    except KeyError:
+        raise ValueError(
+            f"unknown dataset type {type_name!r}; one of {sorted(DATASET_TYPES)}")
+    return cls(conf)

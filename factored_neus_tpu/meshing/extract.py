@@ -1,0 +1,69 @@
+"""SDF grid evaluation on device + iso-surface extraction on host.
+
+Behavior parity: ref:models/renderer.py:14-40 (extract_fields /
+extract_geometry) and the world-space rescale at ref:exp_runner.py:526-527.
+
+TPU-first: the reference walks a triple-nested python loop of 64^3 blocks
+with per-block host sync (ref:renderer.py:22-28).  Here one jitted function
+evaluates a [block, N^2, chunk] slab per call under lax.map, so a 512^3 fill
+is a handful of device dispatches with all 134M SDF evaluations batched onto
+the MXU; marching tetrahedra then runs in native C++ on the host.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..native import marching_cubes as _mc_native
+
+
+def extract_fields(bound_min, bound_max, resolution: int, query_fn,
+                   slab: int = 32) -> np.ndarray:
+    """Dense [R,R,R] field grid (numpy, f32).
+
+    query_fn: pts [N,3] -> values [N] (jittable).
+    Evaluates `slab` x-planes per device call (R^2*slab points each), keeping
+    peak activation memory bounded while saturating the chip.
+    """
+    bound_min = np.asarray(bound_min, np.float32)
+    bound_max = np.asarray(bound_max, np.float32)
+    xs = np.linspace(bound_min[0], bound_max[0], resolution, dtype=np.float32)
+    ys = jnp.linspace(bound_min[1], bound_max[1], resolution)
+    zs = jnp.linspace(bound_min[2], bound_max[2], resolution)
+
+    @jax.jit
+    def eval_slab(x_vals):
+        xx, yy, zz = jnp.meshgrid(x_vals, ys, zs, indexing="ij")
+        pts = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+        return query_fn(pts).reshape(x_vals.shape[0], resolution, resolution)
+
+    out = np.empty((resolution,) * 3, np.float32)
+    for start in range(0, resolution, slab):
+        end = min(start + slab, resolution)
+        x_block = jnp.asarray(xs[start:end])
+        if end - start < slab:  # pad to keep one compiled shape
+            pad = slab - (end - start)
+            x_block = jnp.concatenate([x_block, jnp.full((pad,), xs[-1])])
+        vals = np.asarray(eval_slab(x_block))
+        out[start:end] = vals[: end - start]
+    return out
+
+
+def extract_geometry(bound_min, bound_max, resolution: int, threshold: float,
+                     query_fn, slab: int = 32
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """(vertices [V,3] world coords, triangles [T,3]).
+
+    query_fn follows the reference's convention of returning -sdf
+    (ref:renderer.py:729-734), so the surface is at threshold with outward
+    orientation."""
+    u = extract_fields(bound_min, bound_max, resolution, query_fn, slab=slab)
+    verts, tris = _mc_native(u, float(threshold))
+    b_min = np.asarray(bound_min, np.float32)
+    b_max = np.asarray(bound_max, np.float32)
+    verts = verts / (resolution - 1.0) * (b_max - b_min)[None] + b_min[None]
+    return verts, tris

@@ -1,0 +1,158 @@
+"""Minimal PLY mesh/point-cloud I/O (host-side).
+
+Replaces the reference's trimesh export (ref:exp_runner.py:529-530) and the
+vendored pure-python COLMAP plyfile reader (ref:colmap/plyfile.py, used at
+ref:models/dataset.py:866-870) with a small self-contained reader/writer:
+binary-little-endian and ascii, vertices (+optional colors) and faces.
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+_PLY_TO_NP = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def write_ply(path: str, vertices: np.ndarray,
+              faces: Optional[np.ndarray] = None,
+              colors: Optional[np.ndarray] = None) -> None:
+    """Binary-little-endian PLY with float32 xyz, optional uchar rgb,
+    int32 triangle faces."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    v = np.asarray(vertices, np.float32)
+    n_v = len(v)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n_v}",
+              "property float x", "property float y", "property float z"]
+    if colors is not None:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    if faces is not None:
+        header += [f"element face {len(faces)}",
+                   "property list uchar int vertex_indices"]
+    header.append("end_header")
+
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        if colors is not None:
+            c = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
+            rec = np.zeros(n_v, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+            rec["xyz"] = v
+            rec["rgb"] = c
+            f.write(rec.tobytes())
+        else:
+            f.write(v.astype("<f4").tobytes())
+        if faces is not None:
+            fa = np.asarray(faces, np.int32)
+            rec = np.zeros(len(fa), dtype=[("n", "u1"), ("idx", "<i4", 3)])
+            rec["n"] = 3
+            rec["idx"] = fa
+            f.write(rec.tobytes())
+
+
+def _parse_header(f):
+    if f.readline().strip() != b"ply":
+        raise ValueError("not a PLY file")
+    fmt = None
+    elements = []       # list of (name, count, [(prop_name, dtype, is_list, list_count_t)])
+    cur = None
+    while True:
+        line = f.readline()
+        if not line:
+            raise ValueError("unexpected EOF in header")
+        tok = line.strip().split()
+        if not tok:
+            continue
+        key = tok[0].decode()
+        if key == "format":
+            fmt = tok[1].decode()
+        elif key == "element":
+            cur = (tok[1].decode(), int(tok[2]), [])
+            elements.append(cur)
+        elif key == "property":
+            if tok[1] == b"list":
+                cur[2].append((tok[4].decode(), _PLY_TO_NP[tok[3].decode()],
+                               True, _PLY_TO_NP[tok[2].decode()]))
+            else:
+                cur[2].append((tok[2].decode(), _PLY_TO_NP[tok[1].decode()],
+                               False, None))
+        elif key == "end_header":
+            break
+    return fmt, elements
+
+
+def read_ply(path: str):
+    """Returns dict element_name -> dict prop_name -> np.ndarray.
+    Supports ascii and binary_little_endian; list props only for faces."""
+    with open(path, "rb") as f:
+        fmt, elements = _parse_header(f)
+        out = {}
+        if fmt == "ascii":
+            text = f.read().decode().split("\n")
+            row = 0
+            for name, count, props in elements:
+                has_list = any(p[2] for p in props)
+                cols = {p[0]: [] for p in props}
+                for i in range(count):
+                    vals = text[row].split()
+                    row += 1
+                    j = 0
+                    for pname, dt, is_list, _ in props:
+                        if is_list:
+                            n = int(vals[j]); j += 1
+                            cols[pname].append(
+                                np.array(vals[j:j + n], dtype=dt)); j += n
+                        else:
+                            cols[pname].append(np.array(vals[j], dtype=dt))
+                            j += 1
+                out[name] = {k: np.stack(vs) if len(vs) else np.empty(0)
+                             for k, vs in cols.items()}
+        elif fmt == "binary_little_endian":
+            for name, count, props in elements:
+                if not any(p[2] for p in props):
+                    dt = np.dtype([(p[0], "<" + p[1]) for p in props])
+                    rec = np.frombuffer(f.read(dt.itemsize * count), dtype=dt)
+                    out[name] = {p[0]: np.ascontiguousarray(rec[p[0]])
+                                 for p in props}
+                else:
+                    # single uniform-length list prop (triangle faces): peek
+                    # the first count byte(s), assume it holds for all rows
+                    pname, dt, _, cnt_t = props[0]
+                    cnt_size = np.dtype(cnt_t).itemsize
+                    head = f.read(cnt_size)
+                    if count == 0:
+                        out[name] = {pname: np.empty((0, 3), dtype=dt)}
+                        continue
+                    first_n = int(np.frombuffer(head, dtype="<" + cnt_t)[0])
+                    item = np.dtype([("n", "<" + cnt_t),
+                                     ("v", "<" + dt, first_n)])
+                    body = head + f.read(item.itemsize * count - cnt_size)
+                    rec = np.frombuffer(body, dtype=item, count=count)
+                    out[name] = {pname: np.ascontiguousarray(rec["v"])}
+        else:
+            raise ValueError(f"unsupported PLY format {fmt}")
+    return out
+
+
+def read_ply_points(path: str) -> np.ndarray:
+    """[N,3] float64 vertex positions (the plyfile usage at
+    ref:models/dataset.py:866-870)."""
+    data = read_ply(path)["vertex"]
+    return np.stack([np.asarray(data[c], np.float64)
+                     for c in ("x", "y", "z")], axis=1)
+
+
+def read_ply_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    data = read_ply(path)
+    verts = np.stack([np.asarray(data["vertex"][c], np.float64)
+                      for c in ("x", "y", "z")], axis=1)
+    faces = np.asarray(data["face"][next(iter(data["face"]))], np.int64)
+    return verts, faces

@@ -1,0 +1,146 @@
+"""Ray-sampling primitives: inverse-CDF sampling and NeuS hierarchical
+up-sampling, in fully static shapes (every step has a fixed sample count so
+XLA compiles one program; there is no data-dependent control flow).
+
+Behavior parity: ref:models/renderer.py:43-77 (sample_pdf),
+ref:models/renderer.py:152-205 (up_sample / cat_z_vals),
+ref:models/calLvis.py:25-90 (the secondary-ray copies — unified here; the
+reference duplicates the code with identical formulas).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
+               key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Inverse-CDF sampling of `n_samples` new positions per ray.
+
+    bins:    [B, T]   sorted sample positions
+    weights: [B, T-1] section weights
+    key:     None -> deterministic mid-bin stratification (det=True in the
+             reference); otherwise uniform random u.
+    Returns [B, n_samples].
+    """
+    B, T = bins.shape
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [B,T]
+
+    if key is None:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, (B, n_samples))
+    else:
+        u = jax.random.uniform(key, (B, n_samples), dtype=bins.dtype)
+
+    # searchsorted(right) per ray; vmap keeps it a single fused gather kernel
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, T - 1)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
+def neus_section_weights(z_vals: jnp.ndarray, sdf: jnp.ndarray,
+                         pts_radius: jnp.ndarray, inv_s) -> jnp.ndarray:
+    """Per-section NeuS weights used by hierarchical up-sampling.
+
+    z_vals [B,T], sdf [B,T], pts_radius [B,T] (|o+td|), inv_s scalar.
+    Returns weights [B, T-1].  ref:models/renderer.py:158-187.
+    """
+    B, T = z_vals.shape
+    inside_sphere = (pts_radius[:, :-1] < 1.0) | (pts_radius[:, 1:] < 1.0)
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+    prev_cos = jnp.concatenate([jnp.zeros((B, 1), z_vals.dtype), cos_val[:, :-1]],
+                               axis=-1)
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside_sphere
+
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+    return alpha_to_weights(alpha)
+
+
+def alpha_to_weights(alpha: jnp.ndarray) -> jnp.ndarray:
+    """w_i = a_i * prod_{j<i}(1 - a_j + 1e-7).  ref:models/renderer.py:185-186."""
+    B = alpha.shape[0]
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((B, 1), alpha.dtype), 1.0 - alpha + 1e-7],
+                        axis=-1), axis=-1)[:, :-1]
+    return alpha * trans
+
+
+def up_sample(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z_vals: jnp.ndarray,
+              sdf: jnp.ndarray, n_importance: int, inv_s) -> jnp.ndarray:
+    """One NeuS up-sampling step at fixed inv_s. Returns new z [B, n_importance]."""
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+    radius = jnp.linalg.norm(pts, axis=-1)
+    weights = neus_section_weights(z_vals, sdf, radius, inv_s)
+    return jax.lax.stop_gradient(sample_pdf(z_vals, weights, n_importance))
+
+
+def cat_z_vals(sdf_fn, rays_o, rays_d, z_vals, new_z_vals, sdf,
+               last: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge-sort new z positions in and (unless last) evaluate their SDF.
+
+    sdf_fn: pts [N,3] -> sdf [N]  (already stop-gradiented by the caller)
+    Returns (z_sorted [B, T+I], sdf_sorted [B, T+I] or input sdf when last).
+    ref:models/renderer.py:191-205.
+    """
+    B, T = z_vals.shape
+    I = new_z_vals.shape[1]
+    z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
+    order = jnp.argsort(z_cat, axis=-1)
+    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
+    if last:
+        return z_sorted, sdf
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
+    new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(B, I)
+    sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+    sdf_sorted = jnp.take_along_axis(sdf_cat, order, axis=-1)
+    return z_sorted, sdf_sorted
+
+
+def hierarchical_z_vals(sdf_fn, rays_o, rays_d, z_vals, n_importance: int,
+                        up_sample_steps: int, base_inv_s: float = 64.0,
+                        inv_s_override=None) -> jnp.ndarray:
+    """Full NeuS importance-sampling ladder: `up_sample_steps` rounds of
+    n_importance//steps new samples at inv_s = base*2^i (or a fixed override,
+    used by the secondary-ray tracer which passes the learned inv_s;
+    ref:models/calLvis.py:370-379).
+
+    The loop is unrolled at trace time — each round has a distinct static
+    shape (64 -> 80 -> 96 -> 112 -> 128), which XLA compiles as straight-line
+    fused code; no dynamic shapes, no retracing.
+    """
+    B = rays_o.shape[0]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+    sdf = jax.lax.stop_gradient(sdf_fn(pts.reshape(-1, 3))).reshape(B, -1)
+    per_step = n_importance // up_sample_steps
+    for i in range(up_sample_steps):
+        inv_s = base_inv_s * 2 ** i if inv_s_override is None else inv_s_override
+        new_z = up_sample(rays_o, rays_d, z_vals, sdf, per_step, inv_s)
+        z_vals, sdf = cat_z_vals(
+            lambda p: jax.lax.stop_gradient(sdf_fn(p)),
+            rays_o, rays_d, z_vals, new_z, sdf,
+            last=(i + 1 == up_sample_steps))
+    return z_vals

@@ -1,0 +1,112 @@
+"""Native marching-tetrahedra + PLY I/O + grid extraction tests."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from factored_neus_tpu.native import KDTree, marching_cubes
+from factored_neus_tpu.meshing.ply import (read_ply_mesh, read_ply_points,
+                                           write_ply)
+from factored_neus_tpu.meshing.extract import extract_fields, extract_geometry
+
+
+def _sphere_grid(res, r=0.5):
+    """-sdf grid of a sphere (positive inside), like the extraction caller."""
+    x = np.linspace(-1, 1, res, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(x, x, x, indexing="ij")
+    return -(np.sqrt(xx**2 + yy**2 + zz**2) - r)
+
+
+def test_marching_cubes_sphere_accuracy():
+    res = 48
+    verts, tris = marching_cubes(_sphere_grid(res), 0.0)
+    assert len(verts) > 100 and len(tris) > 100
+    world = verts / (res - 1.0) * 2.0 - 1.0
+    radii = np.linalg.norm(world, axis=-1)
+    # surface within a voxel of r=0.5
+    assert abs(radii.mean() - 0.5) < 2.0 / res
+    assert radii.std() < 2.0 / res
+
+
+def test_marching_cubes_watertight():
+    verts, tris = marching_cubes(_sphere_grid(32), 0.0)
+    # every undirected edge must be shared by exactly 2 triangles
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+
+def test_marching_cubes_orientation():
+    """Signed volume must be positive (outward normals) and close to the
+    analytic sphere volume."""
+    res = 48
+    verts, tris = marching_cubes(_sphere_grid(res), 0.0)
+    world = verts / (res - 1.0) * 2.0 - 1.0
+    a, b, c = world[tris[:, 0]], world[tris[:, 1]], world[tris[:, 2]]
+    vol = np.sum(np.einsum("ij,ij->i", a, np.cross(b, c))) / 6.0
+    want = 4.0 / 3.0 * np.pi * 0.5 ** 3
+    assert vol > 0
+    np.testing.assert_allclose(vol, want, rtol=0.05)
+
+
+def test_marching_cubes_empty():
+    grid = np.full((8, 8, 8), -1.0, np.float32)
+    verts, tris = marching_cubes(grid, 0.0)
+    assert len(verts) == 0 and len(tris) == 0
+
+
+def test_kdtree_vs_bruteforce():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(500, 3).astype(np.float32)
+    q = rng.randn(64, 3).astype(np.float32)
+    tree = KDTree(pts)
+    dist, idx = tree.query(q)
+    d2 = ((q[:, None] - pts[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(idx, d2.argmin(1))
+    np.testing.assert_allclose(dist, np.sqrt(d2.min(1)), rtol=1e-5)
+
+
+def test_kdtree_radius_count():
+    rng = np.random.RandomState(1)
+    pts = rng.rand(300, 3).astype(np.float32)
+    q = rng.rand(16, 3).astype(np.float32)
+    tree = KDTree(pts)
+    cnt = tree.query_radius_count(q, 0.2)
+    want = (((q[:, None] - pts[None]) ** 2).sum(-1) <= 0.2 ** 2 + 1e-9).sum(1)
+    np.testing.assert_array_equal(cnt, want)
+
+
+def test_ply_roundtrip_mesh():
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.ply")
+        write_ply(path, verts, faces)
+        v, f = read_ply_mesh(path)
+        np.testing.assert_allclose(v, verts)
+        np.testing.assert_array_equal(f, faces)
+
+
+def test_ply_points_roundtrip():
+    pts = np.random.RandomState(0).randn(57, 3).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.ply")
+        write_ply(path, pts)
+        got = read_ply_points(path)
+        np.testing.assert_allclose(got, pts, rtol=1e-6)
+
+
+def test_extract_geometry_device_sphere():
+    import jax.numpy as jnp
+
+    def query(pts):                      # -sdf of a sphere r=0.5
+        return -(jnp.linalg.norm(pts, axis=-1) - 0.5)
+
+    verts, tris = extract_geometry([-1.0, -1.0, -1.0], [1.0, 1.0, 1.0],
+                                   resolution=40, threshold=0.0,
+                                   query_fn=query, slab=16)
+    radii = np.linalg.norm(verts, axis=-1)
+    assert abs(radii.mean() - 0.5) < 0.06
+    assert len(tris) > 100
