@@ -213,9 +213,10 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
-    gradient_error = (jnp.linalg.norm(grads_bt, axis=-1) - 1.0) ** 2
-    gradient_error = (jnp.sum(relax_inside * gradient_error)
-                      / (jnp.sum(relax_inside) + 1e-5))
+    eik_sq = (jnp.linalg.norm(grads_bt, axis=-1) - 1.0) ** 2
+    eik_num = jnp.sum(relax_inside * eik_sq)
+    eik_den = jnp.sum(relax_inside)
+    gradient_error = eik_num / (eik_den + 1e-5)
 
     return {
         "color": color,
@@ -229,6 +230,8 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
         "weights": weights,
         "cdf": prev_cdf.reshape(B, T),
         "gradient_error": gradient_error,
+        "_eik_num": eik_num,
+        "_eik_den": eik_den,
         "inside_sphere": inside_sphere,
         "specular_color": specular_color,
         "diffuse_color": diffuse_color,
@@ -301,6 +304,8 @@ def render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
         "gradients": ret["gradients"],
         "weights": weights,
         "gradient_error": ret["gradient_error"],
+        "_eik_num": ret["_eik_num"],
+        "_eik_den": ret["_eik_den"],
         "inside_sphere": ret["inside_sphere"],
         "specular_color": ret["specular_color"],
         "diffuse_color": ret["diffuse_color"],

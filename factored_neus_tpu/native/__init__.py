@@ -80,3 +80,16 @@ class KDTree:
             self._lib.kdtree_free(self._handle)
         except Exception:
             pass
+
+
+def greedy_downsample(points: np.ndarray, radius: float) -> np.ndarray:
+    """Boolean keep-mask from the greedy radius-suppression downsample
+    (native; replicates ref:evaluation/dtu_eval.py:85-93)."""
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    n = len(pts)
+    keep = np.empty(n, np.uint8)
+    load().kdtree_greedy_downsample(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(radius),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return keep.astype(bool)

@@ -65,6 +65,9 @@ def load() -> ctypes.CDLL:
         lib.kdtree_query_radius_count.restype = None
         lib.kdtree_query_radius_count.argtypes = [
             ctypes.c_void_p, c_f32p, c_i64, ctypes.c_float, c_i32p]
+        lib.kdtree_greedy_downsample.restype = None
+        lib.kdtree_greedy_downsample.argtypes = [
+            c_f32p, c_i64, ctypes.c_float, ctypes.POINTER(ctypes.c_uint8)]
 
         _LIB = lib
         return lib

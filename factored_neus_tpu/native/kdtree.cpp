@@ -209,4 +209,50 @@ void kdtree_query_radius_count(const void* handle, const float* queries,
   }
 }
 
+// Greedy density downsample (the DTU protocol's radius-suppression pass,
+// ref:evaluation/dtu_eval.py:85-93): walk points in order; if not yet
+// suppressed, keep it and suppress every neighbor within `radius`.
+// Sequential by construction (order matters), all in native code.
+void kdtree_greedy_downsample(const float* pts, int64_t n, float radius,
+                              uint8_t* out_keep) {
+  Tree* t = (Tree*)kdtree_build(pts, n);
+  float r2 = radius * radius;
+  std::vector<uint8_t> suppressed(n, 0);
+  std::vector<int32_t> stack_nodes;
+  for (int64_t i = 0; i < n; ++i) {
+    if (suppressed[i]) {
+      out_keep[i] = 0;
+      continue;
+    }
+    out_keep[i] = 1;
+    const float* q = &pts[3 * i];
+    // suppress neighbors in radius
+    struct Item { int32_t node; float d2; };
+    Item stack[64];
+    int sp = 0;
+    stack[sp++] = {0, 0.f};
+    while (sp) {
+      Item it = stack[--sp];
+      if (it.d2 > r2) continue;
+      const Node& nd = t->nodes[it.node];
+      if (nd.axis < 0) {
+        for (int32_t j = nd.left; j < nd.right; ++j) {
+          int32_t pi = t->indices[j];
+          const float* p = &t->pts[3 * pi];
+          float dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
+          if (dx * dx + dy * dy + dz * dz <= r2) suppressed[pi] = 1;
+        }
+        continue;
+      }
+      float diff = q[nd.axis] - nd.split;
+      int32_t near = diff < 0 ? nd.left : nd.right;
+      int32_t far = diff < 0 ? nd.right : nd.left;
+      float far_d2 = diff * diff;
+      if (far_d2 <= r2) stack[sp++] = {far, far_d2};
+      stack[sp++] = {near, it.d2};
+    }
+  }
+  delete t;
+}
+
 }  // extern "C"

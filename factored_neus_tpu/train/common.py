@@ -1,0 +1,128 @@
+"""Shared training plumbing: parameter initialization for the full model
+family, train-config schema, optimizer construction.
+
+Parameter groups per stage (ref:exp_runner.py:89-96, lvis.py:89-92,
+mateIllu.py:91-95):
+  stage 1 trains nerf + sdf + variance + color + ref_color
+  stage 2 trains lvis + indirect           (stage-1 groups frozen)
+  stage 3 trains material                  (stages 1-2 frozen)
+Freezing is implemented with optax.multi_transform-style masking: frozen
+groups get zero updates, so one pytree carries all networks through all
+stages (simplifying the reference's cross-stage checkpoint chaining).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import fields as F
+from ..models.materials import envmap_material_init
+from ..models.renderer import RendererConfig
+from ..utils import schedule
+from ..utils.hocon import ConfigTree
+
+STAGE_TRAINABLE = {
+    1: ("nerf", "sdf", "variance", "color", "ref_color"),
+    2: ("lvis", "indirect"),
+    3: ("material",),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 5e-4
+    learning_rate_alpha: float = 0.05
+    end_iter: int = 300000
+    batch_size: int = 512
+    validate_resolution_level: int = 4
+    warm_up_end: float = 5000.0
+    anneal_end: float = 0.0
+    use_white_bkgd: bool = False
+    save_freq: int = 2500
+    val_freq: int = 2500
+    val_mesh_freq: int = 5000
+    report_freq: int = 100
+    igr_weight: float = 0.1
+    mask_weight: float = 0.0
+    surface_weight: float = 0.1
+
+    @classmethod
+    def from_conf(cls, c: ConfigTree, stage: int = 1,
+                  surface_weight: float = 0.1) -> "TrainConfig":
+        t = c.get("train", ConfigTree())
+        base = dict(
+            learning_rate=float(t.get("learning_rate", 5e-4)),
+            learning_rate_alpha=float(t.get("learning_rate_alpha", 0.05)),
+            end_iter=int(t.get("end_iter", 300000)),
+            batch_size=int(t.get("batch_size", 512)),
+            validate_resolution_level=int(t.get("validate_resolution_level", 4)),
+            warm_up_end=float(t.get("warm_up_end", 0.0)),
+            anneal_end=float(t.get("anneal_end", 0.0)),
+            use_white_bkgd=bool(t.get("use_white_bkgd", False)),
+            save_freq=int(t.get("save_freq", 2500)),
+            val_freq=int(t.get("val_freq", 2500)),
+            val_mesh_freq=int(t.get("val_mesh_freq", 5000)),
+            report_freq=int(t.get("report_freq", 100)),
+            igr_weight=float(t.get("igr_weight", 0.1)),
+            mask_weight=float(t.get("mask_weight", 0.0)),
+            surface_weight=surface_weight,
+        )
+        if stage == 2:                      # ref:lvis.py:56-67
+            lv = t.get("lvis", ConfigTree())
+            base.update(end_iter=int(lv.get("end_iter", 10000)),
+                        batch_size=int(lv.get("batch_size", 512)),
+                        warm_up_end=float(lv.get("warm_up_end", 0.0)))
+        elif stage == 3:                    # ref:mateIllu.py (metaIllu block)
+            mi = t.get("metaIllu", t.get("mateIllu", ConfigTree()))
+            base.update(end_iter=int(mi.get("end_iter", 40000)),
+                        batch_size=int(mi.get("batch_size", 512)),
+                        warm_up_end=float(mi.get("warm_up_end", 0.0)))
+        return cls(**base)
+
+
+def init_all_params(key, cfg: RendererConfig,
+                    variance_init_val: float = 0.3) -> Dict[str, Any]:
+    """One pytree with every network the three stages need."""
+    ks = jax.random.split(key, 8)
+    return {
+        "nerf": F.nerf_init(ks[0], cfg.nerf),
+        "sdf": F.sdf_init(ks[1], cfg.sdf),
+        "variance": F.variance_init(variance_init_val),
+        "color": F.rendering_init(ks[2], cfg.rendering),
+        "ref_color": F.refcolor_init(ks[3], cfg.refcolor),
+        "lvis": F.lvis_init(ks[4], cfg.lvis),
+        "indirect": F.indirect_light_init(ks[5], cfg.indirect),
+        "material": envmap_material_init(ks[6], cfg.material),
+    }
+
+
+def make_optimizer(tcfg: TrainConfig, stage: int) -> optax.GradientTransformation:
+    """Adam with the reference's warmup+cosine schedule, masked to the
+    stage's trainable groups."""
+    lr_fn = lambda count: schedule.learning_rate(
+        count, tcfg.learning_rate, tcfg.warm_up_end, tcfg.end_iter,
+        tcfg.learning_rate_alpha)
+    adam = optax.adam(learning_rate=lr_fn)
+    trainable = set(STAGE_TRAINABLE[stage])
+
+    def label_fn(params):
+        return {k: ("train" if k in trainable else "freeze")
+                for k in params.keys()}
+
+    return optax.multi_transform(
+        {"train": adam, "freeze": optax.set_to_zero()}, label_fn)
+
+
+def adam_with_schedule(tcfg: TrainConfig) -> optax.GradientTransformation:
+    lr_fn = lambda count: schedule.learning_rate(
+        count, tcfg.learning_rate, tcfg.warm_up_end, tcfg.end_iter,
+        tcfg.learning_rate_alpha)
+    return optax.adam(learning_rate=lr_fn)
+
+
+def psnr_from_mse(mse):
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))

@@ -1,0 +1,107 @@
+"""Stage-1 (geometry + radiance) jitted train step, single-chip or sharded.
+
+One compiled program per step does: device-side ray generation -> NeuS render
+(hierarchical sampling + fused core) -> 4-term loss -> Adam update with the
+warmup/cosine schedule.  The host only supplies the image index and a PRNG
+key — there is no per-step host->device tensor traffic (the reference pays a
+CPU gather + .cuda() copy every step, ref:models/dataset.py:133-151).
+
+Sharded mode: ray batch split across the 'dp' mesh axis; loss normalizers
+and gradients are globally reduced with psum inside the differentiated
+function, so every chip applies an identical update to its replicated
+parameters (see parallel.sharding).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..data import rays as RAYS
+from ..models import renderer as R
+from ..parallel import sharding as SH
+from ..utils import schedule
+from . import losses as L
+from .common import TrainConfig, make_optimizer
+
+
+def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
+                    mesh: Optional[Mesh] = None,
+                    convention: str = "c2w", mask_ones: bool = False):
+    """Returns (init_opt_state, step_fn) where
+    step_fn(params, opt_state, data, img_idx, key, step) ->
+        (params, opt_state, metrics).
+
+    data: dict(images, masks, intr_inv, poses [+ convention flags]) resident
+    on device.
+    """
+    tx = make_optimizer(tcfg, stage=1)
+    n_dev = 1 if mesh is None else mesh.devices.size
+    local_batch = tcfg.batch_size // n_dev
+    assert local_batch * n_dev == tcfg.batch_size, \
+        f"batch {tcfg.batch_size} not divisible by {n_dev} devices"
+
+    def loss_fn(params, data, img_idx, key, step):
+        key = SH.device_key(key, mesh)
+        k_rays, k_render = jax.random.split(key)
+        rays_o, rays_d, color, mask = RAYS.gen_random_rays(
+            k_rays, data["images"], data["masks"], data["intr_inv"],
+            data["poses"], img_idx, local_batch,
+            convention=convention, mask_ones=mask_ones)
+        near, far = RAYS.near_far_from_sphere(rays_o, rays_d)
+
+        background_rgb = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
+        if tcfg.mask_weight > 0.0:
+            mask = (mask > 0.5).astype(jnp.float32)
+        else:
+            mask = jnp.ones_like(mask)
+
+        anneal = schedule.cos_anneal_ratio(step, tcfg.anneal_end)
+        out = R.render(params, cfg, rays_o, rays_d, near, far, key=k_render,
+                       background_rgb=background_rgb,
+                       cos_anneal_ratio=anneal)
+        reduce = lambda x: SH.psum(x, mesh)
+        loss, metrics = L.stage1_losses(out, color, mask, tcfg, reduce)
+        metrics["s_val"] = jnp.mean(out["s_val"])
+        mask_sum = reduce(jnp.sum(mask)) + 1e-5
+        metrics["cdf"] = reduce(jnp.sum(out["cdf_fine"][:, :1] * mask)) / mask_sum
+        metrics["weight_max"] = reduce(jnp.sum(out["weight_max"] * mask)) / mask_sum
+        return loss, metrics
+
+    def step_fn(params, opt_state, data, img_idx, key, step):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, data, img_idx, key, step)
+        # psum'd loss -> grads already global; no extra reduction needed
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+        return tx.init, jitted
+
+    sharded = jax.shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    jitted = jax.jit(sharded, donate_argnums=(0, 1))
+    return tx.init, jitted
+
+
+def make_render_fn(cfg: R.RendererConfig, tcfg: TrainConfig):
+    """Jitted full renderer for validation images (chunked by the caller)."""
+
+    @jax.jit
+    def render_chunk(params, rays_o, rays_d, near, far, step):
+        anneal = schedule.cos_anneal_ratio(step, tcfg.anneal_end)
+        background_rgb = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
+        return R.render(params, cfg, rays_o, rays_d, near, far, key=None,
+                        background_rgb=background_rgb,
+                        cos_anneal_ratio=anneal, perturb_overwrite=0.0)
+
+    return render_chunk

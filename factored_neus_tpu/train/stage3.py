@@ -1,0 +1,64 @@
+"""Stage-3 (materials + direct illumination) train step.
+
+Trains only the EnvmapMaterial network with rgb-L1 + KL encoder loss against
+frozen stages 1-2 (ref:mateIllu.py:91,135-203).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..data import rays as RAYS
+from ..models import renderer as R
+from ..parallel import sharding as SH
+from . import losses as L
+from .common import TrainConfig, make_optimizer
+
+
+def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
+                    mesh: Optional[Mesh] = None,
+                    convention: str = "c2w", mask_ones: bool = False):
+    tx = make_optimizer(tcfg, stage=3)
+    n_dev = 1 if mesh is None else mesh.devices.size
+    local_batch = tcfg.batch_size // n_dev
+
+    def loss_fn(params, data, img_idx, key, step):
+        key = SH.device_key(key, mesh)
+        k_rays, k_render = jax.random.split(key)
+        rays_o, rays_d, color, mask = RAYS.gen_random_rays(
+            k_rays, data["images"], data["masks"], data["intr_inv"],
+            data["poses"], img_idx, local_batch,
+            convention=convention, mask_ones=mask_ones)
+        near, far = RAYS.near_far_from_sphere(rays_o, rays_d)
+        if tcfg.mask_weight > 0.0:
+            mask = (mask > 0.5).astype(jnp.float32)
+        else:
+            mask = jnp.ones_like(mask)
+        out = R.mate_illu_render(params, cfg, rays_o, rays_d, near, far,
+                                 k_render)
+        return L.stage3_losses(out, color, mask, lambda x: SH.psum(x, mesh))
+
+    def step_fn(params, opt_state, data, img_idx, key, step):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, data, img_idx, key, step)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return tx.init, jax.jit(step_fn, donate_argnums=(0, 1))
+    sharded = jax.shard_map(step_fn, mesh=mesh,
+                            in_specs=(P(),) * 6, out_specs=(P(),) * 3,
+                            check_vma=False)
+    return tx.init, jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_render_fn(cfg: R.RendererConfig):
+    @jax.jit
+    def render_chunk(params, rays_o, rays_d, near, far, key):
+        return R.mate_illu_render(params, cfg, rays_o, rays_d, near, far, key)
+    return render_chunk

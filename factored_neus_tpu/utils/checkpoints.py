@@ -1,0 +1,169 @@
+"""Checkpoint save/load: iter-stamped npz archives of parameter pytrees +
+optimizer state, with the reference's directory layout and resume semantics.
+
+Behavior parity (SURVEY.md §5.4): files land in
+{base_exp_dir}/checkpoints/ckpt_{iter:06d}.npz; `latest_checkpoint` scans for
+the newest stamp <= end_iter (ref:exp_runner.py:107-118); logical groups use
+the reference's key names (nerf, sdf_network_fine, variance_network_fine,
+color_network_fine, refColor_network, lvis_network, indiLgt_network,
+mateIllu_network, optimizer, iter_step; ref:exp_runner.py:266-278,
+lvis.py:255-269, mateIllu.py:269-284) so stage chaining works identically.
+
+Format: a single .npz whose keys are `<group>/<flattened pytree path>`, plus
+a JSON treedef sidecar entry — self-contained, no orbax daemon, atomic via
+temp-file rename.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+_SEP = "/"
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    paths_leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in paths_leaves:
+        key = _SEP.join(_path_str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(entry) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return str(entry.idx)
+    return str(entry)
+
+
+def _treedef_spec(tree) -> Any:
+    """JSON-serializable structure mirror (dicts/lists with None leaves)."""
+    if isinstance(tree, dict):
+        return {k: _treedef_spec(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_treedef_spec(v) for v in tree]
+    return None
+
+
+def _unflatten(spec, flat: Dict[str, np.ndarray], prefix: str = ""):
+    if isinstance(spec, dict):
+        return {k: _unflatten(v, flat, prefix + k + _SEP)
+                for k, v in spec.items()}
+    if isinstance(spec, list):
+        return [_unflatten(v, flat, prefix + str(i) + _SEP)
+                for i, v in enumerate(spec)]
+    return flat[prefix[:-1]]
+
+
+def _is_plain(tree) -> bool:
+    """True when the tree is pure dict/list/tuple/leaf (round-trippable via
+    the JSON spec).  Optimizer states contain optax namedtuples and custom
+    nodes — those go through leaves-mode instead."""
+    if type(tree) is dict:
+        return all(_is_plain(v) for v in tree.values())
+    if type(tree) in (list, tuple):
+        return all(_is_plain(v) for v in tree)
+    import jax.numpy as jnp
+    return isinstance(tree, (np.ndarray, jnp.ndarray, int, float, bool,
+                             np.generic))
+
+
+def restore_into(template, leaves) -> Any:
+    """Rebuild an arbitrary pytree (e.g. optax state) from stored leaves
+    using the caller's freshly-initialized structure as the template."""
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp_like(t, l) for t, l in
+                  zip(jax.tree_util.tree_leaves(template), leaves)])
+
+
+def jnp_like(template_leaf, value):
+    import jax.numpy as jnp
+    arr = jnp.asarray(value)
+    return arr.astype(template_leaf.dtype) if hasattr(template_leaf, "dtype") \
+        else arr
+
+
+def save_checkpoint(base_exp_dir: str, iter_step: int,
+                    groups: Dict[str, Any]) -> str:
+    """groups: name -> pytree (params / optimizer state / scalars)."""
+    ckpt_dir = os.path.join(base_exp_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    spec: Dict[str, Any] = {}
+    for name, tree in groups.items():
+        tree = jax.device_get(tree)
+        if not _is_plain(tree):
+            # arbitrary pytree (optax states): store ordered leaves; the
+            # loader rebuilds against a freshly-initialized template via
+            # `restore_into`
+            leaves = jax.tree_util.tree_leaves(tree)
+            spec[name] = {"__leaves__": len(leaves)}
+            for i, leaf in enumerate(leaves):
+                arrays[f"{name}{_SEP}__leaf{i}__"] = np.asarray(leaf)
+            continue
+        spec[name] = _treedef_spec(tree)
+        if spec[name] is None:                      # bare array/scalar
+            arrays[name] = np.asarray(tree)
+        else:
+            for k, v in _flatten(tree).items():
+                arrays[f"{name}{_SEP}{k}"] = v
+    arrays["__spec__"] = np.frombuffer(
+        json.dumps(spec).encode(), dtype=np.uint8)
+    path = os.path.join(ckpt_dir, f"ckpt_{iter_step:06d}.npz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with np.load(path, allow_pickle=False) as z:
+        spec = json.loads(bytes(z["__spec__"]).decode())
+        flat = {k: z[k] for k in z.files if k != "__spec__"}
+    out = {}
+    for name, s in spec.items():
+        if s is None:
+            out[name] = flat[name]
+        elif isinstance(s, dict) and "__leaves__" in s:
+            out[name] = [flat[f"{name}{_SEP}__leaf{i}__"]
+                         for i in range(s["__leaves__"])]
+        else:
+            sub = {k[len(name) + 1:]: v for k, v in flat.items()
+                   if k.startswith(name + _SEP)}
+            out[name] = _unflatten(s, sub)
+    return out
+
+
+_CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
+
+
+def latest_checkpoint(base_exp_dir: str,
+                      end_iter: Optional[int] = None) -> Optional[str]:
+    """Newest stamped checkpoint <= end_iter, or None.
+    ref:exp_runner.py:107-118."""
+    ckpt_dir = os.path.join(base_exp_dir, "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    best_it = -1
+    for name in os.listdir(ckpt_dir):
+        m = _CKPT_RE.match(name)
+        if not m:
+            continue
+        it = int(m.group(1))
+        if end_iter is not None and it > end_iter:
+            continue
+        if it > best_it:
+            best_it = it
+            best = os.path.join(ckpt_dir, name)
+    return best
