@@ -109,9 +109,16 @@ def sdf_gradient(params, cfg: SDFConfig, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def sdf_value_and_grad_feat(params, cfg: SDFConfig, x: jnp.ndarray):
-    """(sdf [N], feature [N,256], grad [N,3]) in one pass."""
-    out = sdf_apply(params, cfg, x)
-    grad = sdf_gradient(params, cfg, x)
+    """(sdf [N], feature [N,256], grad [N,3]) from ONE forward pass.
+
+    jax.vjp shares the forward between the (sdf|feature) outputs and the
+    input-gradient of the sdf channel — the reference pays two forwards
+    (ref:renderer.py:238-242 calls forward then .gradient()).  The vjp
+    closure stays differentiable, so the eikonal double-backprop works.
+    """
+    out, vjp_fn = jax.vjp(lambda p: sdf_apply(params, cfg, p), x)
+    ct = jnp.zeros_like(out).at[:, 0].set(1.0)
+    (grad,) = vjp_fn(ct)
     return out[:, 0], out[:, 1:], grad
 
 

@@ -53,6 +53,11 @@ class RendererConfig:
     indirect: F.IndirectLightConfig = F.IndirectLightConfig()
     material: EnvmapMaterialConfig = EnvmapMaterialConfig()
     secondary_chunk: int = 131072
+    # rematerialize the per-sample network evaluations in the backward pass:
+    # the eikonal double-backprop otherwise keeps O(20) copies of the
+    # [B*T, 256] activations live (OOMs HBM beyond ~4k rays/chip); remat
+    # trades ~1.3x forward FLOPs for O(B*T) memory
+    remat: bool = True
 
     @property
     def n_total(self) -> int:
@@ -125,10 +130,14 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
     pts_flat = pts.reshape(-1, 3)
     dirs_flat = dirs.reshape(-1, 3)
 
-    sdf_out = F.sdf_apply(params["sdf"], cfg.sdf, pts_flat)     # [BT, 257]
-    sdf = sdf_out[:, :1]
-    feature = sdf_out[:, 1:]
-    gradients = F.sdf_gradient(params["sdf"], cfg.sdf, pts_flat)  # [BT, 3]
+    def geometry(sdf_params, x):
+        # single shared forward for (sdf | feature) and the sdf gradient
+        s_val, feat, grad = F.sdf_value_and_grad_feat(sdf_params, cfg.sdf, x)
+        return s_val[:, None], feat, grad
+
+    if cfg.remat:
+        geometry = jax.checkpoint(geometry)
+    sdf, feature, gradients = geometry(params["sdf"], pts_flat)
 
     inv_s = jnp.clip(F.variance_inv_s(params["variance"]), 1e-6, 1e6)
 
@@ -150,9 +159,11 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
         (pts_norm < 1.2).astype(z_vals.dtype))
     inside_sphere_mask = jnp.sum(inside_sphere, -1) > 0.0        # [B]
 
-    sampled_color = F.rendering_apply(
-        params["color"], cfg.rendering, pts_flat, gradients, dirs_flat,
-        feature).reshape(B, T, 3)
+    color_fn = lambda cp, *a: F.rendering_apply(cp, cfg.rendering, *a)
+    if cfg.remat:
+        color_fn = jax.checkpoint(color_fn)
+    sampled_color = color_fn(params["color"], pts_flat, gradients, dirs_flat,
+                             feature).reshape(B, T, 3)
 
     # ---- surface branch: first SDF sign change, RefColor at the two
     # bracketing samples, NeuS-weight blend (ref:renderer.py:280-343) -------

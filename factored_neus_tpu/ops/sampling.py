@@ -37,8 +37,10 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     else:
         u = jax.random.uniform(key, (B, n_samples), dtype=bins.dtype)
 
-    # searchsorted(right) per ray; vmap keeps it a single fused gather kernel
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(right) as a compare-and-sum: T is small (65-129) so the
+    # [B, n, T] comparison tensor is a single fused VPU reduction — far
+    # cheaper on TPU than per-row binary search (no data-dependent gathers)
+    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, T - 1)
 
