@@ -58,6 +58,10 @@ class RendererConfig:
     # [B*T, 256] activations live (OOMs HBM beyond ~4k rays/chip); remat
     # trades ~1.3x forward FLOPs for O(B*T) memory
     remat: bool = True
+    # route the no-grad SDF sweeps (importance-sampling ladder, secondary-ray
+    # coarse sweeps) through the fused Pallas kernel (ops.pallas_sdf);
+    # forward-only, so inputs are stop-gradiented at the call sites
+    use_pallas_sampling: bool = False
 
     @property
     def n_total(self) -> int:
@@ -68,6 +72,18 @@ class RendererConfig:
 
 def _sdf_fwd(params, cfg):
     return lambda p: F.sdf_value(params["sdf"], cfg.sdf, p)
+
+
+def _sdf_fwd_sampling(params, cfg):
+    """SDF forward for no-grad sampling sweeps: fused Pallas kernel when
+    enabled (single-pass bf16 MXU; the ~1e-2 sdf error only nudges where
+    importance samples land), XLA path otherwise."""
+    if cfg.use_pallas_sampling:
+        from ..ops.pallas_sdf import sdf_forward_pallas
+        return lambda p: sdf_forward_pallas(
+            params["sdf"], cfg.sdf, jax.lax.stop_gradient(p),
+            bf16_matmul=True)
+    return _sdf_fwd(params, cfg)
 
 
 def _sdf_full(params, cfg):
@@ -283,7 +299,7 @@ def render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
 
     if cfg.n_importance > 0:
         z_vals = S.hierarchical_z_vals(
-            _sdf_fwd(params, cfg), rays_o, rays_d, z_vals,
+            _sdf_fwd_sampling(params, cfg), rays_o, rays_d, z_vals,
             cfg.n_importance, cfg.up_sample_steps)
 
     background_alpha = None
@@ -336,7 +352,7 @@ def _stage23_util(params, cfg: RendererConfig, rays_o, rays_d, near, far):
     z_vals = near + (far - near) * z_lin[None, :]
     if cfg.n_importance > 0:
         z_vals = S.hierarchical_z_vals(
-            _sdf_fwd(params, cfg), rays_o, rays_d, z_vals,
+            _sdf_fwd_sampling(params, cfg), rays_o, rays_d, z_vals,
             cfg.n_importance, cfg.up_sample_steps)
     T = z_vals.shape[1]
     dists = jnp.concatenate(
@@ -364,7 +380,8 @@ def lvis_render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
     inv_s = jnp.clip(F.variance_inv_s(params["variance"]), 1e-6, 1e6)
     res = SEC.cal_indi_lgt(
         key, pts_surf, n_surf,
-        _sdf_fwd(params, cfg), _sdf_full(params, cfg), _sdf_grad(params, cfg),
+        _sdf_fwd_sampling(params, cfg), _sdf_full(params, cfg),
+        _sdf_grad(params, cfg),
         inv_s, _color_fn(params, cfg),
         lambda p, d: F.lvis_apply(params["lvis"], cfg.lvis, p, d),
         lambda p: F.indirect_light_apply(params["indirect"], cfg.indirect, p),

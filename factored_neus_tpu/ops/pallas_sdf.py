@@ -36,6 +36,15 @@ LANE = 128
 BLOCK_ROWS = 1024
 
 
+def on_tpu() -> bool:
+    """True when the default backend is a TPU (incl. tunneled plugins)."""
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:                                  # pragma: no cover
+        return False
+    return "tpu" in plat or "axon" in plat
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -150,7 +159,13 @@ def sdf_forward_pallas(params, cfg: SDFConfig, pts: jnp.ndarray,
                        full_out: bool = False, bf16_matmul: bool = False,
                        block_rows: int = BLOCK_ROWS) -> jnp.ndarray:
     """Fused forward. pts [N,3] -> sdf [N] (full_out=False) or
-    [N, d_out] (full_out=True).  Forward-only; wrap with stop_gradient."""
+    [N, d_out] (full_out=True).
+
+    Gradient semantics: STOP-GRADIENT by construction — a custom zero-tangent
+    JVP lets the kernel sit inside functions being differentiated (the
+    no-grad sampling sweeps run inside jax.grad'd train steps; the reference
+    wraps the same sweeps in torch.no_grad, ref:renderer.py:426).
+    """
     N = pts.shape[0]
     n_pad = _round_up(max(N, 8), block_rows)
     pts_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(pts)
@@ -175,14 +190,26 @@ def sdf_forward_pallas(params, cfg: SDFConfig, pts: jnp.ndarray,
         in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_rows, out_cols), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, out_cols), jnp.float32),
-    )(pts_p, *ws_p, *bs_p)
+    def call_kernel(pts_in, ws_in, bs_in):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_rows, out_cols), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, out_cols), jnp.float32),
+        )(pts_in, *ws_in, *bs_in)
+
+    # explicit stop-gradient semantics: zero tangents so the kernel is
+    # traceable under jax.grad / jax.linearize
+    wrapped = jax.custom_jvp(call_kernel)
+
+    @wrapped.defjvp
+    def _zero_jvp(primals, tangents):
+        out = call_kernel(*primals)
+        return out, jnp.zeros_like(out)
+
+    out = wrapped(pts_p, tuple(ws_p), tuple(bs_p))
 
     if full_out:
         return out[:N, : cfg.d_out]

@@ -300,6 +300,25 @@ class Runner:
                     f"psnr_rough:{psnr_rough}")
         return psnr_albedo, psnr_rgb, psnr_rough
 
+    def cal_nerfactor_psnr(self, idx: int = -1, resolution_level: int = 1):
+        """NeRFactor-style prediction dumps on the train split
+        (ref:mateIllu.py:286-344)."""
+        if idx < 0:
+            idx = np.random.randint(self.dataset.n_images)
+        r = self.render_decomposition(self.dataset, idx, resolution_level)
+        out = os.path.join(self.base_exp_dir, "psnr")
+        os.makedirs(out, exist_ok=True)
+        tm = lambda x: (np.power(np.clip(x, 0, 1), 1 / 2.2) * 255).clip(0, 255)
+        IMG.imwrite(os.path.join(out, f"preRGB_{idx}.png"), tm(r["rgb"]))
+        IMG.imwrite(os.path.join(out, f"normal_{idx}.png"),
+                    (r["n_out"] * 128 + 128).clip(0, 255))
+        IMG.imwrite(os.path.join(out, f"preAlbedo_{idx}.png"),
+                    tm(r["diffuse_albedo"]))
+        mask = np.asarray(self.dataset.masks[idx])
+        IMG.imwrite(os.path.join(out, f"mask_{idx}.png"), mask * 255)
+        IMG.imwrite(os.path.join(out, f"r_{idx}.png"),
+                    (r["roughness"] * 255).clip(0, 255))
+
     # -- relighting (ref:mateIllu.py:792-875, inverRender.py:614-625) ---------
 
     def load_light(self, path: str):
