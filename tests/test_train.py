@@ -138,3 +138,26 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(loaded["sdf_network_fine"]),
                     jax.tree_util.tree_leaves(params["sdf"])):
         np.testing.assert_array_equal(a, b)
+
+
+def test_stage2_stage3_sharded(scene):
+    """Stages 2 and 3 compile and run on the 8-device mesh too."""
+    cfg = tiny_config()
+    params = tiny_params(cfg)
+    tcfg = TrainConfig(batch_size=32, end_iter=100, warm_up_end=0)
+    mesh = SH.make_mesh()
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+
+    oi2, sf2 = stage2.make_train_step(cfg, tcfg, mesh=mesh)
+    p = copy(params)
+    o = oi2(p)
+    p, o, m2 = sf2(p, o, scene, jnp.asarray(0), jax.random.PRNGKey(0),
+                   jnp.asarray(0))
+    assert np.isfinite(float(m2["loss"]))
+
+    oi3, sf3 = stage3.make_train_step(cfg, tcfg, mesh=mesh)
+    p = copy(params)
+    o = oi3(p)
+    p, o, m3 = sf3(p, o, scene, jnp.asarray(0), jax.random.PRNGKey(1),
+                   jnp.asarray(0))
+    assert np.isfinite(float(m3["loss"]))
