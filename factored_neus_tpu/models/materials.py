@@ -51,7 +51,6 @@ def get_diffuse_visibility(key, points, normals, lvis_params,
     light_dirs = jax.lax.stop_gradient(lgt_sg_lobes)[:, None, :]   # [M,1,3]
     lambdas = jax.lax.stop_gradient(lgt_sg_lambdas)[:, None, :]    # [M,1,1]
 
-    u, v = SG.tangent_frame(light_dirs, x_ref_axis=2)
     sharpness = lambdas[:, :, 0]                                    # [M,1]
     sg_min = jnp.min(sharpness)
     r_phi_range = jnp.arccos(jnp.clip((-1.95 * sg_min) / sharpness + 1.0,
@@ -93,7 +92,6 @@ def get_specular_visibility(key, points, normals, viewdirs, lvis_params,
     n_dot_v = jnp.maximum(U.dot(normals, viewdirs), 0.0)
     ref_dir = (-viewdirs + 2.0 * n_dot_v * normals)[:, None, :]     # [P,1,3]
 
-    u, v = SG.tangent_frame(ref_dir, x_ref_axis=2)
     sharpness = jnp.clip(lambdas[:, :, 0], 0.1, 50.0)               # [P,1]
     sg_min = jnp.min(sharpness)
     r_phi_range = jnp.arccos(jnp.clip((-1.90 * sg_min) / sharpness + 1.0,

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sampling as S
-from ..ops.chunk import chunked_apply
 from . import fields as F
 from . import secondary as SEC
 from .materials import EnvmapMaterialConfig, envmap_material_apply

@@ -1,1 +1,1 @@
-from . import embedder, math, mlp, sampling, sg  # noqa: F401
+from . import chunk, embedder, math, mlp, pallas_sdf, sampling, sg  # noqa: F401

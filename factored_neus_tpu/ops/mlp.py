@@ -17,7 +17,7 @@ MXU accumulates at full precision even when activations are bf16.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -29,8 +29,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.fields import SDFConfig
-from . import mlp as M
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:                      # avoid a circular import at runtime:
+    from ..models.fields import SDFConfig  # cfg is duck-typed below
 
 LANE = 128
 BLOCK_ROWS = 1024
@@ -49,7 +51,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def effective_weights(params, cfg: SDFConfig):
+def effective_weights(params, cfg: "SDFConfig"):
     """Materialize effective [in,out] weights (+biases) from weight-norm or
     plain layer params — tiny param-space ops done once per call."""
     ws, bs = [], []
@@ -73,7 +75,7 @@ def _pad1(b, cols: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_kernel(cfg: SDFConfig, out_dim_padded: int, full_out: bool,
+def _build_kernel(cfg: "SDFConfig", out_dim_padded: int, full_out: bool,
                   bf16_matmul: bool = False):
     """Kernel body closure, specialized to the config's static dims."""
     dims = cfg.dims                       # (d_embed, hidden..., d_out)
@@ -155,7 +157,7 @@ def _build_kernel(cfg: SDFConfig, out_dim_padded: int, full_out: bool,
     return kernel, in_dims, out_dims
 
 
-def sdf_forward_pallas(params, cfg: SDFConfig, pts: jnp.ndarray,
+def sdf_forward_pallas(params, cfg: "SDFConfig", pts: jnp.ndarray,
                        full_out: bool = False, bf16_matmul: bool = False,
                        block_rows: int = BLOCK_ROWS) -> jnp.ndarray:
     """Fused forward. pts [N,3] -> sdf [N] (full_out=False) or

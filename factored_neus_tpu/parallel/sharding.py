@@ -51,17 +51,4 @@ def device_key(key, mesh: Optional[Mesh]):
     return jax.random.fold_in(key, jax.lax.axis_index(AXIS))
 
 
-def shard_over_rays(fn: Callable, mesh: Mesh, n_scalar_args: int = 0,
-                    check_vma: bool = True):
-    """Wrap a step function (params, opt_state, data..., key, step) whose
-    ray-batch outputs/inputs are sharded along AXIS.
 
-    The wrapped fn must already call `psum`/`device_key` with the mesh.
-    Inputs: everything replicated except none (ray gen happens inside from
-    the per-chip key), outputs replicated.
-    """
-    return jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=tuple(P() for _ in range(n_scalar_args)),
-        out_specs=P(),
-        check_vma=False)

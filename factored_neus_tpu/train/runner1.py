@@ -204,7 +204,7 @@ class Runner:
             ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
             rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
         outs = {k: [] for k in keys}
-        extra = {k: [] for k in ("gradients", "weights", "inside_sphere")}
+        normals_acc = []
         for i in range(0, len(ro), B):
             o_c = jnp.asarray(ro[i:i + B])
             d_c = jnp.asarray(rd[i:i + B])
@@ -217,10 +217,10 @@ class Runner:
             normals = (np.asarray(out["gradients"])
                        * np.asarray(out["weights"])[:, :n_total, None]
                        * np.asarray(out["inside_sphere"])[..., None]).sum(1)
-            extra["gradients"].append(normals)
+            normals_acc.append(normals)
         res = {k: np.concatenate(v)[:n].reshape(H, W, -1)
                for k, v in outs.items()}
-        res["normals"] = np.concatenate(extra["gradients"])[:n].reshape(H, W, 3)
+        res["normals"] = np.concatenate(normals_acc)[:n].reshape(H, W, 3)
         return res
 
     def validate_image(self, idx: int = -1, resolution_level: int = -1):
