@@ -303,8 +303,7 @@ class ShinyDataset(SyntheticDataset):
         masks = []
         for p in mask_paths:
             if "ball" not in self.data_dir:
-                import tifffile
-                disp = np.asarray(tifffile.imread(p), np.float32)
+                disp = np.asarray(I.imread_tiff(p), np.float32)
                 disp = (disp > 1e-6).astype(np.float32)
             else:
                 disp = I.imread_bgr_norm256(p)

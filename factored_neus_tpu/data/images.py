@@ -30,12 +30,17 @@ def imread_bgr_norm256(path: str) -> np.ndarray:
 def load_rgb(path: str) -> np.ndarray:
     """float RGB; EXR stays linear, LDR is gamma-2.2 linearized.
     ref:models/rend_util.py:10-17."""
+    if path.endswith(".exr"):
+        try:
+            img = _imageio.imread(path)
+        except Exception:
+            from .exr import read_exr   # self-contained fallback backend
+            img = read_exr(path)
+        return np.float32(img)[..., :3]
     img = _imageio.imread(path)
     img = np.float32(img)[..., :3]
-    if not path.endswith(".exr"):
-        img = img / 255.0
-        img = np.power(img, 2.2)
-    return img
+    img = img / 255.0
+    return np.power(img, 2.2)
 
 
 def load_mask(path: str) -> np.ndarray:
@@ -52,6 +57,21 @@ def load_nerfactor_mask(path: str) -> np.ndarray:
     else:
         alpha = _imageio.imread(path)[:, :, 3]
     return (np.float32(alpha) / 255.0) > 0.5
+
+
+def imread_tiff(path: str) -> np.ndarray:
+    """Float TIFF reader: tifffile when present, else PIL/imageio (the Shiny
+    datasets store disparity masks as float32 TIFFs, ref:dataset.py:584)."""
+    try:
+        import tifffile
+        return np.asarray(tifffile.imread(path))
+    except ImportError:
+        pass
+    try:
+        from PIL import Image
+        return np.asarray(Image.open(path))
+    except Exception:
+        return np.asarray(_imageio.imread(path))
 
 
 def imwrite(path: str, img: np.ndarray) -> None:

@@ -257,7 +257,9 @@ class Runner:
             imageio.imwrite(os.path.join(out, f"iter_step_{self.iter_step}.exr"),
                             env.astype(np.float32))
         except Exception:
-            np.save(os.path.join(out, f"iter_step_{self.iter_step}.npy"), env)
+            from ..data.exr import write_exr
+            write_exr(os.path.join(out, f"iter_step_{self.iter_step}.exr"),
+                      env.astype(np.float32))
 
     # -- PSNR tooling (ref:mateIllu.py:347-456) -------------------------------
 
