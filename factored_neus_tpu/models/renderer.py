@@ -54,9 +54,11 @@ class RendererConfig:
     secondary_chunk: int = 131072
     # rematerialize the per-sample network evaluations in the backward pass:
     # the eikonal double-backprop otherwise keeps O(20) copies of the
-    # [B*T, 256] activations live (OOMs HBM beyond ~4k rays/chip); remat
-    # trades ~1.3x forward FLOPs for O(B*T) memory
-    remat: bool = True
+    # [B*T, 256] activations live (OOMs HBM beyond ~4k rays/chip).  None =
+    # auto: the train-step factory enables it only for large per-chip
+    # batches (>2048 rays), since at small batches it costs ~13% step time
+    # for memory nothing needs (measured: 22.0k vs 19.6k rays/s at b512)
+    remat: "bool | None" = None
     # route the no-grad SDF sweeps (importance-sampling ladder, secondary-ray
     # coarse sweeps) through the fused Pallas kernel (ops.pallas_sdf);
     # forward-only, so inputs are stop-gradiented at the call sites
@@ -150,7 +152,7 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
         s_val, feat, grad = F.sdf_value_and_grad_feat(sdf_params, cfg.sdf, x)
         return s_val[:, None], feat, grad
 
-    if cfg.remat:
+    if bool(cfg.remat):
         geometry = jax.checkpoint(geometry)
     sdf, feature, gradients = geometry(params["sdf"], pts_flat)
 
@@ -175,7 +177,7 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
     inside_sphere_mask = jnp.sum(inside_sphere, -1) > 0.0        # [B]
 
     color_fn = lambda cp, *a: F.rendering_apply(cp, cfg.rendering, *a)
-    if cfg.remat:
+    if bool(cfg.remat):
         color_fn = jax.checkpoint(color_fn)
     sampled_color = color_fn(params["color"], pts_flat, gradients, dirs_flat,
                              feature).reshape(B, T, 3)

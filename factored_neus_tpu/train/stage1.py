@@ -43,6 +43,9 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
     local_batch = tcfg.batch_size // n_dev
     assert local_batch * n_dev == tcfg.batch_size, \
         f"batch {tcfg.batch_size} not divisible by {n_dev} devices"
+    if cfg.remat is None:       # auto: remat only when memory needs it
+        import dataclasses
+        cfg = dataclasses.replace(cfg, remat=local_batch > 2048)
 
     def loss_fn(params, data, img_idx, key, step):
         key = SH.device_key(key, mesh)

@@ -1,0 +1,49 @@
+"""Observability utilities: metrics writer, throughput meter, nan guard."""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from factored_neus_tpu.utils.logging import (MetricsWriter, ThroughputMeter,
+                                             debug_nans, profiler_trace)
+
+
+def test_metrics_writer(tmp_path):
+    w = MetricsWriter(str(tmp_path))
+    w.scalar("Loss/loss", 0.5, 1)
+    w.scalars({"a": 1.0, "b": jnp.asarray(2.0)}, 2)
+    w.close()
+    files = os.listdir(str(tmp_path))
+    assert any("tfevents" in f for f in files)
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(window=2)
+    m.start()
+    t0 = time.perf_counter()
+    m.step(100)
+    while time.perf_counter() - t0 < 0.01:
+        pass
+    m.step(100)
+    assert m.rays_per_sec > 0
+    assert m.rays_per_sec < 100 / 0.01 * 2     # sane upper bound
+
+
+def test_debug_nans_flag():
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans
+        with pytest.raises(Exception):
+            jax.jit(lambda x: x / 0.0)(jnp.asarray(0.0))
+    assert not jax.config.jax_debug_nans
+    with debug_nans(False):
+        # no error without the flag
+        v = jax.jit(lambda x: x / 0.0)(jnp.asarray(0.0))
+        assert not np.isfinite(float(v))
+
+
+def test_profiler_trace_noop():
+    with profiler_trace(None):
+        pass   # no-op path must not raise
