@@ -23,7 +23,11 @@ import time
 import jax
 
 # persistent compile cache: repeat bench runs skip the (remote) compile
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+import os as _os
+_CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                       ".jax_cache")
+_os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

@@ -169,3 +169,35 @@ def test_envmap_material_forward():
     r = np.asarray(out["roughness"])
     assert (r >= 0.09).all() and (r <= 0.99).all()
     assert np.isfinite(float(out["encoder_loss"]))
+
+
+def test_vjp_fused_grad_matches_jax_grad():
+    """The shared-forward (jax.vjp) gradient must equal jax.grad's, including
+    under a second differentiation (eikonal double-backprop)."""
+    cfg = F.SDFConfig(n_layers=2, d_hidden=32, d_out=33, skip_in=(),
+                      multires=4)
+    params = F.sdf_init(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (16, 3)) * 0.4
+
+    s1, f1, g1 = F.sdf_value_and_grad_feat(params, cfg, pts)
+    out = F.sdf_apply(params, cfg, pts)
+    g2 = F.sdf_gradient(params, cfg, pts)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(out[:, 0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                               atol=1e-6)
+
+    def eik_fused(p):
+        _, _, g = F.sdf_value_and_grad_feat(p, cfg, pts)
+        return jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    def eik_plain(p):
+        g = F.sdf_gradient(p, cfg, pts)
+        return jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    ga = jax.grad(eik_fused)(params)
+    gb = jax.grad(eik_plain)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
