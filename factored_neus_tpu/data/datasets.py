@@ -83,14 +83,14 @@ class BaseDataset:
         """Returns (rays_o, rays_d, color, mask[:, :1]), all on device."""
         if key is None:
             key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
-        roi_box = None
+        roi_boxes = None
         if self.sample_roi_prob > 0.0 and self.roi_boxes is not None:
-            roi_box = tuple(int(v) for v in self.roi_boxes[int(img_idx)])
+            roi_boxes = jnp.asarray(np.stack(self.roi_boxes), jnp.int32)
         return R.gen_random_rays(
             key, self.images, self.masks, self.intrinsics_all_inv,
             self.pose_all, jnp.asarray(img_idx), batch_size,
             convention=self.convention, mask_ones=self.mask_ones,
-            roi_box=roi_box, roi_prob=self.sample_roi_prob)
+            roi_boxes=roi_boxes, roi_prob=self.sample_roi_prob)
 
     def gen_rays_between(self, idx_0: int, idx_1: int, ratio: float,
                          resolution_level: int = 1):

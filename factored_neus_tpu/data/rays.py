@@ -58,12 +58,9 @@ def gen_rays_grid(intr_inv, pose, H: int, W: int, level: int = 1,
     px, py = jnp.meshgrid(tx, ty, indexing="xy")     # [h, w]
     p = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)
     if convention == "c2w":
+        # (the reference normalizes in camera space then rotates; the
+        # rotation is orthonormal so the helper is identical)
         rays_d = pixel_to_dir_c2w(intr_inv, pose, p)
-        # note: the reference normalizes in camera space then rotates; the
-        # rotation is orthonormal so this is identical
-        cam = jnp.einsum("ij,...j->...i", intr_inv[:3, :3], p)
-        cam = cam / jnp.linalg.norm(cam, axis=-1, keepdims=True)
-        rays_d = jnp.einsum("ij,...j->...i", pose[:3, :3], cam)
         rays_o = jnp.broadcast_to(origin_c2w(pose), rays_d.shape)
     else:
         rays_d = pixel_to_dir_w2c(intr_inv, pose, p)
@@ -72,11 +69,12 @@ def gen_rays_grid(intr_inv, pose, H: int, W: int, level: int = 1,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("batch_size", "convention", "mask_ones"))
+                   static_argnames=("batch_size", "convention", "mask_ones",
+                                    "roi_prob"))
 def gen_random_rays(key, images, masks, intr_inv_all, pose_all, img_idx,
                     batch_size: int, convention: str = "c2w",
                     mask_ones: bool = False,
-                    roi_box=None, roi_prob: float = 0.0):
+                    roi_boxes=None, roi_prob: float = 0.0):
     """One training batch, fully on device.
 
     images/masks: [n, H, W, 3] device arrays; img_idx: scalar int array.
@@ -93,8 +91,9 @@ def gen_random_rays(key, images, masks, intr_inv_all, pose_all, img_idx,
     px = jax.random.randint(kx, (batch_size,), 0, W)
     py = jax.random.randint(ky, (batch_size,), 0, H)
 
-    if roi_box is not None:
-        left, right, top, bottom = roi_box
+    if roi_boxes is not None and roi_prob > 0.0:
+        box = roi_boxes[img_idx]                     # [4] l, r, t, b
+        left, right, top, bottom = box[0], box[1], box[2], box[3]
         left = jnp.maximum(0, left - 10)
         right = jnp.minimum(W, right + 10)
         top = jnp.maximum(0, top - 10)

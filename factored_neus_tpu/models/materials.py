@@ -295,17 +295,32 @@ def _leaky_mlp(params, x, final_activation=None):
     return x
 
 
-def kl_divergence(rho: float, raw_latent: jnp.ndarray) -> jnp.ndarray:
-    """Sparsity KL on the mean sigmoid activation. ref:inverRender.py:609-612."""
-    rho_hat = jnp.mean(jax.nn.sigmoid(raw_latent), axis=0)
-    return jnp.mean(rho * jnp.log(rho / rho_hat)
-                    + (1.0 - rho) * jnp.log((1.0 - rho) / (1.0 - rho_hat)))
+def kl_divergence(rho: float, raw_latent: jnp.ndarray,
+                  mask=None) -> jnp.ndarray:
+    """Sparsity KL on the mean sigmoid activation. ref:inverRender.py:609-612.
+
+    `mask` [N] restricts the mean to surface-hit rays (the reference only
+    ever evaluates the encoder on pts_surf[sdf_mask]); a zero-hit batch
+    yields 0, matching the reference's skip (ref:mateIllu.py:161).
+    """
+    act = jax.nn.sigmoid(raw_latent)
+    if mask is None:
+        rho_hat = jnp.mean(act, axis=0)
+        n_hit = jnp.asarray(1.0)
+    else:
+        m = mask.astype(act.dtype)[:, None]
+        n_hit = jnp.sum(m)
+        rho_hat = jnp.sum(act * m, axis=0) / jnp.maximum(n_hit, 1.0)
+        rho_hat = jnp.clip(rho_hat, 1e-6, 1.0 - 1e-6)
+    kl = jnp.mean(rho * jnp.log(rho / rho_hat)
+                  + (1.0 - rho) * jnp.log((1.0 - rho) / (1.0 - rho_hat)))
+    return jnp.where(n_hit > 0, kl, 0.0)
 
 
 def envmap_material_apply(params, cfg: EnvmapMaterialConfig, key,
                           points, ray_dirs, n, gt_specular_linear,
-                          indi_lgt_sgs, lvis_params, lvis_cfg: LvisConfig
-                          ) -> Dict[str, jnp.ndarray]:
+                          indi_lgt_sgs, lvis_params, lvis_cfg: LvisConfig,
+                          hit_mask=None) -> Dict[str, jnp.ndarray]:
     """Full stage-3 forward. ref:models/inverRender.py:530-598."""
     n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + TINY)
     ray_dirs = ray_dirs / (jnp.linalg.norm(ray_dirs, axis=-1, keepdims=True) + TINY)
@@ -321,7 +336,8 @@ def envmap_material_apply(params, cfg: EnvmapMaterialConfig, key,
     roughness = brdf[..., 3:] * 0.9 + 0.09
     diffuse_albedo = brdf[..., :3]
 
-    encoder_loss = cfg.kl_weight * kl_divergence(cfg.kl_rho, raw_latent)
+    encoder_loss = cfg.kl_weight * kl_divergence(cfg.kl_rho, raw_latent,
+                                                 mask=hit_mask)
 
     specular_albedo = _leaky_mlp(
         params["net_cs"], jnp.concatenate([pts_enc, ref_enc], -1),

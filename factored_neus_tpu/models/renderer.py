@@ -376,7 +376,11 @@ def lvis_render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
                                             near, far)
     pts_surf, _, sdf_mask = SEC.surface_localize(mid_z, sdf, rays_o, rays_d,
                                                  inside_mask)
-    n_surf = F.sdf_gradient(params["sdf"], cfg.sdf, pts_surf)
+    # stages 2/3 freeze the geometry: cut the (double-)backprop through the
+    # SDF here so jax.grad does not traverse it just for optax to zero it
+    pts_surf = jax.lax.stop_gradient(pts_surf)
+    n_surf = jax.lax.stop_gradient(
+        F.sdf_gradient(params["sdf"], cfg.sdf, pts_surf))
 
     inv_s = jnp.clip(F.variance_inv_s(params["variance"]), 1e-6, 1e6)
     res = SEC.cal_indi_lgt(
@@ -408,12 +412,20 @@ def mate_illu_render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
                                             near, far)
     pts_surf, _, sdf_mask = SEC.surface_localize(mid_z, sdf, rays_o, rays_d,
                                                  inside_mask)
-    n_surf = F.sdf_gradient(params["sdf"], cfg.sdf, pts_surf)
-    f_surf = F.sdf_apply(params["sdf"], cfg.sdf, pts_surf)[:, 1:]
+    # frozen geometry + frozen RefColor supervision: stop gradients at the
+    # stage boundary (the reference leaves requires_grad on and discards the
+    # grads; we skip computing them)
+    pts_surf = jax.lax.stop_gradient(pts_surf)
+    n_surf = jax.lax.stop_gradient(
+        F.sdf_gradient(params["sdf"], cfg.sdf, pts_surf))
+    f_surf = jax.lax.stop_gradient(
+        F.sdf_apply(params["sdf"], cfg.sdf, pts_surf)[:, 1:])
 
     from ..ops import math as U
-    ref = F.refcolor_apply(params["ref_color"], cfg.refcolor, pts_surf,
-                           f_surf, rays_d, n_surf)
+    ref = jax.tree_util.tree_map(
+        jax.lax.stop_gradient,
+        F.refcolor_apply(params["ref_color"], cfg.refcolor, pts_surf,
+                         f_surf, rays_d, n_surf))
     diffuse_srgb = ref["diffuse_rgb"]
     specular_srgb = ref["specular_rgb"]
     diffuse_linear = U.srgb_to_linear(diffuse_srgb)
@@ -422,7 +434,8 @@ def mate_illu_render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
     indi = F.indirect_light_apply(params["indirect"], cfg.indirect, pts_surf)
     out = envmap_material_apply(
         params["material"], cfg.material, key, pts_surf, rays_d, n_surf,
-        specular_linear, indi, params["lvis"], cfg.lvis)
+        specular_linear, indi, params["lvis"], cfg.lvis,
+        hit_mask=sdf_mask)
 
     m = sdf_mask[:, None]
     def mask1(x):

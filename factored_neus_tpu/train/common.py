@@ -76,11 +76,12 @@ class TrainConfig:
             base.update(end_iter=int(lv.get("end_iter", 10000)),
                         batch_size=int(lv.get("batch_size", 512)),
                         warm_up_end=float(lv.get("warm_up_end", 0.0)))
-        elif stage == 3:                    # ref:mateIllu.py (metaIllu block)
+        elif stage == 3:                    # ref:mateIllu.py:56-68 — batch and
+            # end_iter come from the metaIllu block but warm_up_end stays the
+            # GLOBAL train.warm_up_end
             mi = t.get("metaIllu", t.get("mateIllu", ConfigTree()))
             base.update(end_iter=int(mi.get("end_iter", 40000)),
-                        batch_size=int(mi.get("batch_size", 512)),
-                        warm_up_end=float(mi.get("warm_up_end", 0.0)))
+                        batch_size=int(mi.get("batch_size", 512)))
         return cls(**base)
 
 

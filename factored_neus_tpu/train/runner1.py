@@ -65,7 +65,8 @@ class Runner:
         self._opt_init, self._step_fn = stage1.make_train_step(
             self.cfg, self.tcfg, mesh=self.mesh,
             convention=self.dataset.convention,
-            mask_ones=self.dataset.mask_ones)
+            mask_ones=self.dataset.mask_ones,
+            roi_prob=float(getattr(self.dataset, "sample_roi_prob", 0.0)))
         self.opt_state = self._opt_init(self.params)
         self._render_fn = stage1.make_render_fn(self.cfg, self.tcfg)
 
@@ -91,6 +92,10 @@ class Runner:
             "masks": self.dataset.masks,
             "intr_inv": self.dataset.intrinsics_all_inv,
             "poses": self.dataset.pose_all,
+            **({"roi_boxes": jnp.asarray(np.stack(self.dataset.roi_boxes),
+                                         jnp.int32)}
+               if getattr(self.dataset, "roi_boxes", None) is not None
+               and self.dataset.sample_roi_prob > 0.0 else {}),
         }
         return d
 

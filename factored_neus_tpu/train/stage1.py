@@ -30,7 +30,8 @@ from .common import TrainConfig, make_optimizer
 
 def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
                     mesh: Optional[Mesh] = None,
-                    convention: str = "c2w", mask_ones: bool = False):
+                    convention: str = "c2w", mask_ones: bool = False,
+                    roi_prob: float = 0.0):
     """Returns (init_opt_state, step_fn) where
     step_fn(params, opt_state, data, img_idx, key, step) ->
         (params, opt_state, metrics).
@@ -53,7 +54,8 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
         rays_o, rays_d, color, mask = RAYS.gen_random_rays(
             k_rays, data["images"], data["masks"], data["intr_inv"],
             data["poses"], img_idx, local_batch,
-            convention=convention, mask_ones=mask_ones)
+            convention=convention, mask_ones=mask_ones,
+            roi_boxes=data.get("roi_boxes"), roi_prob=roi_prob)
         near, far = RAYS.near_far_from_sphere(rays_o, rays_d)
 
         background_rgb = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
@@ -77,7 +79,11 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
     def step_fn(params, opt_state, data, img_idx, key, step):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             params, data, img_idx, key, step)
-        # psum'd loss -> grads already global; no extra reduction needed
+        if mesh is not None:
+            # each chip's backward only carries its own shard's contribution
+            # (psum transposes to a per-device broadcast); sum them so every
+            # chip applies the identical global update
+            grads = jax.lax.psum(grads, SH.AXIS)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

@@ -161,3 +161,26 @@ def test_stage2_stage3_sharded(scene):
     p, o, m3 = sf3(p, o, scene, jnp.asarray(0), jax.random.PRNGKey(1),
                    jnp.asarray(0))
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_sharded_params_stay_replicated(scene):
+    """Without the gradient psum each chip applies a different update and the
+    'replicated' params silently diverge — assert per-device shards agree
+    bit-for-bit after several steps."""
+    cfg = tiny_config()
+    params = tiny_params(cfg)
+    tcfg = TrainConfig(batch_size=64, end_iter=100, warm_up_end=0)
+    mesh = SH.make_mesh()
+    opt_init, step_fn = stage1.make_train_step(cfg, tcfg, mesh=mesh)
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+    p = copy(params)
+    o = opt_init(p)
+    key = jax.random.PRNGKey(5)
+    for it in range(3):
+        p, o, m = step_fn(p, o, scene, jnp.asarray(it % 2),
+                          jax.random.fold_in(key, it), jnp.asarray(it))
+    leaf = jax.tree_util.tree_leaves(p)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    assert len(shards) >= 2
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
