@@ -109,11 +109,19 @@ def get_specular_visibility(key, points, normals, viewdirs, lvis_params,
                       sample_dir.reshape(-1, 3)).reshape(n_points, nsamp)
     vis = jnp.where(cos_term, pred, 0.0)
 
-    weight = jnp.exp(sharpness * (jnp.sum(sample_dir * light_dirs, -1) - 1.0))
+    # log-weight is <= 0 by construction (cos <= 1), so it never overflows;
+    # compute the degenerate-row fix there. The reference's inf-reset
+    # (ref:inverRender.py:251-257) effectively keeps only the saturating
+    # sample(s); we realize that as a one-hot at the best-aligned sample,
+    # which also covers full underflow (all weights -> 0), where the
+    # reference silently returns vis=0.
+    logw = sharpness * (jnp.sum(sample_dir * light_dirs, -1) - 1.0)  # [P,S]
+    weight = jnp.exp(logw)
     wsum = jnp.sum(weight, axis=-1)
-    # guard the reference's inf reset (ref:inverRender.py:251-257)
-    weight = jnp.where(jnp.isinf(wsum)[:, None], jnp.isinf(weight).astype(weight.dtype),
-                       weight)
+    degenerate = ~jnp.isfinite(wsum) | (wsum <= TINY)
+    onehot = jax.nn.one_hot(jnp.argmax(logw, axis=-1), logw.shape[-1],
+                            dtype=weight.dtype)
+    weight = jnp.where(degenerate[:, None], onehot, weight)
     vis = jnp.sum(vis * weight, axis=-1) / (jnp.sum(weight, axis=-1) + TINY)
     return jax.lax.stop_gradient(vis)
 
@@ -311,7 +319,8 @@ def kl_divergence(rho: float, raw_latent: jnp.ndarray,
         m = mask.astype(act.dtype)[:, None]
         n_hit = jnp.sum(m)
         rho_hat = jnp.sum(act * m, axis=0) / jnp.maximum(n_hit, 1.0)
-        rho_hat = jnp.clip(rho_hat, 1e-6, 1.0 - 1e-6)
+    # a saturated latent (sigmoid -> exactly 0/1 in f32) would log(0) -> inf
+    rho_hat = jnp.clip(rho_hat, 1e-6, 1.0 - 1e-6)
     kl = jnp.mean(rho * jnp.log(rho / rho_hat)
                   + (1.0 - rho) * jnp.log((1.0 - rho) / (1.0 - rho_hat)))
     return jnp.where(n_hit > 0, kl, 0.0)

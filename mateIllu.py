@@ -1,14 +1,29 @@
 #!/usr/bin/env python
 """Stage-3 CLI: material + direct illumination recovery.
 
-Same surface as the reference entry point (ref:mateIllu.py:1103-1163):
-modes train / validate_image / cal_psnr / relgt_img / relgt_video /
-validate_video / validate_synthetic_video.
+Drop-in surface of the reference entry point (ref:mateIllu.py:1103-1163):
+modes train / validate_image / indiSG_psnr / relgt_synthetic_img /
+relgt_synthetic_video / validate_video / validate_synthetic_video, with
+the reference's hardcoded per-case view-index tables. The round-1 names
+(cal_psnr / relgt_img / relgt_video) remain as aliases.
 """
 import argparse
 
 from factored_neus_tpu.train.runner3 import Runner
 from factored_neus_tpu.utils.logging import setup_logging
+
+# ref:mateIllu.py:1135-1146 — the per-case test view for shiny scenes.
+_SHINY_IDX = {"car": 37, "helmet": 60, "toaster": 141, "teapot": 199,
+              "coffee": 46}
+# ref:mateIllu.py:1149-1163 — the per-case eval view for synthetic scenes.
+_SYNTH_IDX = {"hotdog": 190, "jugs": 0}
+
+
+def _case_idx(case: str, table: dict, default: int) -> int:
+    for name, idx in table.items():
+        if name in case:
+            return idx
+    return default
 
 
 def main():
@@ -16,6 +31,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, default="./confs/base.conf")
     parser.add_argument("--mode", type=str, default="train")
+    parser.add_argument("--mcube_threshold", type=float, default=0.0)
     parser.add_argument("--is_continue", default=False, action="store_true")
     parser.add_argument("--gpu", type=int, default=0)   # compat, unused
     parser.add_argument("--case", type=str, default="")
@@ -31,13 +47,24 @@ def main():
     elif args.mode == "validate_image":
         if args.type in ("dtu", "sk3d"):
             runner.validate_image(resolution_level=1, idx=args.idx)
+        elif args.type == "shiny":
+            # The reference routes shiny here to shiny_validate_test
+            # (ref:mateIllu.py:1146), which is broken upstream (references
+            # a nonexistent DatasetShiny2); we map the mode + idx table to
+            # the working decomposition-validate path.
+            idx = _case_idx(args.case, _SHINY_IDX, 0)
+            runner.validate_image(resolution_level=1, idx=idx)
         else:
             runner.validate_synthetic_img(resolution_level=1, idx=args.idx)
-    elif args.mode == "cal_psnr":
-        runner.cal_synthetic_psnr(idx=args.idx)
-    elif args.mode == "relgt_img":
-        runner.relgt_synthetic_img(idx=args.idx)
-    elif args.mode == "relgt_video":
+    elif args.mode in ("indiSG_psnr", "cal_psnr"):
+        idx = (_case_idx(args.case, _SYNTH_IDX, 55)
+               if args.mode == "indiSG_psnr" else args.idx)
+        runner.cal_synthetic_psnr(idx=idx, resolution_level=1)
+    elif args.mode in ("relgt_synthetic_img", "relgt_img"):
+        idx = (_case_idx(args.case, _SYNTH_IDX, 55)
+               if args.mode == "relgt_synthetic_img" else args.idx)
+        runner.relgt_synthetic_img(idx=idx, resolution_level=1)
+    elif args.mode in ("relgt_synthetic_video", "relgt_video"):
         runner.relgt_synthetic_video()
     elif args.mode == "validate_video":
         runner.validate_video()

@@ -201,3 +201,50 @@ def test_vjp_fused_grad_matches_jax_grad():
                     jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_kl_divergence_saturated_latent_is_finite():
+    """A latent saturating sigmoid to exactly 0/1 in f32 must not log(0)
+    in either the masked or unmasked branch."""
+    raw = jnp.full((16, 4), 40.0)           # sigmoid -> 1.0 exactly in f32
+    raw = raw.at[:, 1].set(-40.0)           # sigmoid -> 0.0 exactly
+    for mask in (None, jnp.ones((16,)), jnp.zeros((16,))):
+        kl = MAT.kl_divergence(0.05, raw, mask=mask)
+        assert np.isfinite(float(kl)), f"mask={mask}: kl={kl}"
+
+
+def test_specular_visibility_extreme_sharpness_finite():
+    """Saturating SG sharpness (weights under/overflow) must keep the
+    BRDF-lobe visibility finite and in [0, 1] via the one-hot fallback."""
+    lvis_cfg = F.LvisConfig()
+    lvis_params = F.lvis_init(jax.random.PRNGKey(0), lvis_cfg)
+    P = 8
+    pts = jax.random.normal(jax.random.PRNGKey(1), (P, 3)) * 0.3
+    normals = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (P, 1))
+    viewdirs = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (P, 1))
+    lobes = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (P, 1))
+    for lam in (1e-8, 1e9):                 # clips to [0.1, 50]
+        vis = MAT.get_specular_visibility(
+            jax.random.PRNGKey(2), pts, normals, viewdirs, lvis_params,
+            lvis_cfg, lobes, jnp.full((P, 1), lam), nsamp=6)
+        v = np.asarray(vis)
+        assert np.isfinite(v).all()
+        assert (v >= 0).all() and (v <= 1 + 1e-5).all()
+
+
+def test_specular_visibility_degenerate_rows_use_best_sample():
+    """When every SG weight underflows, the one-hot fallback must average
+    only the best-aligned sample instead of returning 0/TINY."""
+    logw = jnp.asarray([[-200.0, -150.0, -300.0],
+                        [-0.5, -1.0, -2.0]])
+    weight = jnp.exp(logw)
+    wsum = jnp.sum(weight, axis=-1)
+    degenerate = ~jnp.isfinite(wsum) | (wsum <= MAT.TINY)
+    onehot = jax.nn.one_hot(jnp.argmax(logw, axis=-1), logw.shape[-1],
+                            dtype=weight.dtype)
+    weight = jnp.where(degenerate[:, None], onehot, weight)
+    vis_samples = jnp.asarray([[0.1, 0.9, 0.3], [0.1, 0.9, 0.3]])
+    vis = jnp.sum(vis_samples * weight, -1) / (jnp.sum(weight, -1) + MAT.TINY)
+    v = np.asarray(vis)
+    assert abs(v[0] - 0.9) < 1e-4           # degenerate row -> best sample
+    assert 0.0 < v[1] < 0.9                 # healthy row -> true average

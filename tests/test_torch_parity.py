@@ -1,0 +1,374 @@
+"""Cross-framework numerical parity against the torch reference.
+
+The reference implementation (/root/reference, CUDA/torch) is importable on
+CPU in this image; these tests instantiate its actual networks/renderer,
+inject IDENTICAL weights into both frameworks, and assert outputs agree —
+parity proven by execution, not re-derivation.
+
+Ref anchors: models/fields.py:9-412, models/renderer.py:43-500,
+exp_runner.py:162-177.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if not os.path.isdir(REF):
+    pytest.skip("reference checkout not mounted", allow_module_level=True)
+
+# The reference imports CUDA-era deps that are absent here; stub the ones
+# touched at import time (never exercised by these tests).
+for _name, _attrs in (("mcubes", {"marching_cubes": None}),
+                      ("icecream", {"ic": lambda *a, **k: a[0] if a else None})):
+    if _name not in sys.modules:
+        _m = types.ModuleType(_name)
+        for k, v in _attrs.items():
+            setattr(_m, k, v)
+        sys.modules[_name] = _m
+
+sys.path.insert(0, REF)
+# the reference's math_utils uses the numpy<2.0 `np.math` alias
+if not hasattr(np, "math"):
+    import math as _math
+    np.math = _math
+torch.manual_seed(0)
+
+from models import fields as TF              # noqa: E402  (reference)
+from models import renderer as TR            # noqa: E402  (reference)
+
+from factored_neus_tpu.models import fields as JF          # noqa: E402
+from factored_neus_tpu.models import renderer as JR        # noqa: E402
+from factored_neus_tpu.train import losses as JL           # noqa: E402
+from factored_neus_tpu.train.common import TrainConfig     # noqa: E402
+
+ATOL = 1e-4
+
+
+# ---------------------------------------------------------------------------
+# torch -> jax weight conversion
+# ---------------------------------------------------------------------------
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+def t2j_dense(lin):
+    """nn.Linear -> {'w': [in,out], 'b': [out]} (torch stores [out,in])."""
+    return {"w": jnp.asarray(_np(lin.weight).T),
+            "b": jnp.asarray(_np(lin.bias))}
+
+
+def t2j_wn(lin):
+    """weight-normed nn.Linear -> {'v': [in,out], 'g': [out], 'b': [out]}.
+
+    torch's weight_norm keeps g with shape [out,1] and norms over the input
+    axis of the [out,in] weight — i.e. per output unit, same as ours.
+    """
+    if hasattr(lin, "weight_g"):
+        g, v = _np(lin.weight_g), _np(lin.weight_v)
+    else:                                   # parametrize-based weight_norm
+        p = lin.parametrizations.weight
+        g, v = _np(p.original0), _np(p.original1)
+    return {"v": jnp.asarray(v.T), "g": jnp.asarray(g.reshape(-1)),
+            "b": jnp.asarray(_np(lin.bias))}
+
+
+def t2j_sdf(net):
+    return [t2j_wn(getattr(net, f"lin{l}")) for l in range(net.num_layers - 1)]
+
+
+def t2j_rendering(net):
+    return [t2j_wn(getattr(net, f"lin{l}")) for l in range(net.num_layers - 1)]
+
+
+def t2j_nerf(net):
+    return {
+        "pts_linears": [t2j_dense(l) for l in net.pts_linears],
+        "views_linear": t2j_dense(net.views_linears[0]),
+        "feature_linear": t2j_dense(net.feature_linear),
+        "alpha_linear": t2j_dense(net.alpha_linear),
+        "rgb_linear": t2j_dense(net.rgb_linear),
+    }
+
+
+def t2j_refcolor(net):
+    # net_cd is Sequential(Linear, ReLU)*4 + Linear + Sigmoid -> indices 0,2,4,6,8
+    return {
+        "net_cd": [t2j_dense(net.net_cd[i]) for i in (0, 2, 4, 6, 8)],
+        "viewdir_mlp": [t2j_dense(l) for l in net.viewdir_mlp],
+        "net_cs": [t2j_dense(net.net_cs[0])],
+    }
+
+
+def t2j_lvis(net):
+    return [t2j_dense(net.lvis[i]) for i in (0, 2, 4, 6, 8)]
+
+
+def t2j_indirect(net):
+    return [t2j_dense(net.indi[i]) for i in (0, 2, 4, 6, 8)]
+
+
+def _rand(*shape, seed=0, scale=1.0):
+    rng = np.random.RandomState(seed)
+    return (scale * rng.randn(*shape)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Field-level parity
+# ---------------------------------------------------------------------------
+
+def test_sdf_network_parity():
+    tnet = TF.SDFNetwork(d_in=3, d_out=65, d_hidden=64, n_layers=4,
+                         skip_in=(2,), multires=6, scale=1.0)
+    jcfg = JF.SDFConfig(d_out=65, d_hidden=64, n_layers=4, skip_in=(2,),
+                        multires=6)
+    jp = t2j_sdf(tnet)
+    x = _rand(32, 3, seed=1, scale=0.5)
+    t_out = _np(tnet(torch.from_numpy(x)))
+    j_out = np.asarray(JF.sdf_apply(jp, jcfg, jnp.asarray(x)))
+    np.testing.assert_allclose(j_out, t_out, atol=ATOL)
+
+    with torch.enable_grad():
+        t_grad = _np(tnet.gradient(torch.from_numpy(x.copy())).squeeze(1))
+    j_grad = np.asarray(JF.sdf_gradient(jp, jcfg, jnp.asarray(x)))
+    np.testing.assert_allclose(j_grad, t_grad, atol=ATOL)
+
+    # fused value+grad path used by the hot renderer core
+    s, feat, g = JF.sdf_value_and_grad_feat(jp, jcfg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(s), t_out[:, 0], atol=ATOL)
+    np.testing.assert_allclose(np.asarray(g), t_grad, atol=ATOL)
+
+
+def test_sdf_network_parity_scaled():
+    """cfg.scale rescales inputs and the sdf channel (ref:fields.py:76,91)."""
+    tnet = TF.SDFNetwork(d_in=3, d_out=33, d_hidden=32, n_layers=2,
+                         skip_in=(), multires=4, scale=3.0)
+    jcfg = JF.SDFConfig(d_out=33, d_hidden=32, n_layers=2, skip_in=(),
+                        multires=4, scale=3.0)
+    jp = t2j_sdf(tnet)
+    x = _rand(16, 3, seed=2, scale=0.3)
+    np.testing.assert_allclose(
+        np.asarray(JF.sdf_apply(jp, jcfg, jnp.asarray(x))),
+        _np(tnet(torch.from_numpy(x))), atol=ATOL)
+
+
+def test_rendering_network_parity():
+    tnet = TF.RenderingNetwork(d_feature=64, mode="idr", d_in=9, d_out=3,
+                               d_hidden=64, n_layers=4, weight_norm=True,
+                               multires_view=4, squeeze_out=True)
+    jcfg = JF.RenderingConfig(d_feature=64, d_hidden=64, n_layers=4,
+                              multires_view=4)
+    jp = t2j_rendering(tnet)
+    pts, n, d = _rand(32, 3, seed=3), _rand(32, 3, seed=4), _rand(32, 3, seed=5)
+    feat = _rand(32, 64, seed=6)
+    t_out = _np(tnet(torch.from_numpy(pts), torch.from_numpy(n),
+                     torch.from_numpy(d), torch.from_numpy(feat)))
+    j_out = np.asarray(JF.rendering_apply(jp, jcfg, jnp.asarray(pts),
+                                          jnp.asarray(n), jnp.asarray(d),
+                                          jnp.asarray(feat)))
+    np.testing.assert_allclose(j_out, t_out, atol=ATOL)
+
+
+def test_nerf_parity():
+    tnet = TF.NeRF(D=4, W=64, d_in=4, d_in_view=3, multires=6,
+                   multires_view=4, skips=[2], use_viewdirs=True)
+    jcfg = JF.NeRFConfig(D=4, W=64, multires=6, multires_view=4, skips=(2,))
+    jp = t2j_nerf(tnet)
+    pts4 = _rand(32, 4, seed=7, scale=0.5)
+    views = _rand(32, 3, seed=8)
+    t_alpha, t_rgb = tnet(torch.from_numpy(pts4), torch.from_numpy(views))
+    j_alpha, j_rgb = JF.nerf_apply(jp, jcfg, jnp.asarray(pts4),
+                                   jnp.asarray(views))
+    np.testing.assert_allclose(np.asarray(j_alpha), _np(t_alpha), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_rgb), _np(t_rgb), atol=ATOL)
+
+
+def test_refcolor_parity():
+    tnet = TF.RefColor()
+    pts, n, d = _rand(16, 3, seed=9), _rand(16, 3, seed=10), _rand(16, 3, seed=11)
+    feat = _rand(16, 256, seed=12)
+    args = [torch.from_numpy(a) for a in (pts, feat, d, n)]
+    t_out = tnet(*args)                      # materializes the LazyLinears
+    jp = t2j_refcolor(tnet)
+    jcfg = JF.RefColorConfig(d_feature=256)
+    j_out = JF.refcolor_apply(jp, jcfg, jnp.asarray(pts), jnp.asarray(feat),
+                              jnp.asarray(d), jnp.asarray(n))
+    for k in ("rgb", "specular_rgb", "diffuse_rgb"):
+        np.testing.assert_allclose(np.asarray(j_out[k]), _np(t_out[k]),
+                                   atol=ATOL, err_msg=k)
+
+
+def test_lvis_parity():
+    tnet = TF.Lvis()
+    pts, view = _rand(16, 3, seed=13), _rand(16, 3, seed=14)
+    t_out = _np(tnet(torch.from_numpy(pts), torch.from_numpy(view)))
+    jp = t2j_lvis(tnet)
+    j_out = np.asarray(JF.lvis_apply(jp, JF.LvisConfig(), jnp.asarray(pts),
+                                     jnp.asarray(view)))
+    np.testing.assert_allclose(j_out, t_out, atol=ATOL)
+
+
+def test_indirect_light_parity():
+    tnet = TF.IndirectLight(num_lgt_sgs=24)
+    pts = _rand(16, 3, seed=15, scale=0.4)
+    t_out = _np(tnet(torch.from_numpy(pts)))
+    jp = t2j_indirect(tnet)
+    j_out = np.asarray(JF.indirect_light_apply(
+        jp, JF.IndirectLightConfig(), jnp.asarray(pts)))
+    np.testing.assert_allclose(j_out, t_out, atol=ATOL)
+
+
+def test_variance_parity():
+    tnet = TF.SingleVarianceNetwork(0.3)
+    t_inv_s = _np(tnet(torch.zeros(4, 3)))[0, 0]
+    j_inv_s = float(JF.variance_inv_s(JF.variance_init(0.3)))
+    np.testing.assert_allclose(j_inv_s, t_inv_s, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Renderer-level parity: identical weights, identical rays, perturb=0
+# ---------------------------------------------------------------------------
+
+def _build_pair():
+    """Small NeuS stack in both frameworks with shared weights."""
+    # the reference render_core hardcodes feature width 256
+    # (ref:renderer.py:290,300), so the pair must use d_out=257
+    t_sdf = TF.SDFNetwork(d_in=3, d_out=257, d_hidden=64, n_layers=4,
+                          skip_in=(2,), multires=6, scale=1.0)
+    t_dev = TF.SingleVarianceNetwork(0.3)
+    t_color = TF.RenderingNetwork(d_feature=256, mode="idr", d_in=9, d_out=3,
+                                  d_hidden=64, n_layers=4, weight_norm=True,
+                                  multires_view=4, squeeze_out=True)
+    t_nerf = TF.NeRF(D=4, W=64, d_in=4, d_in_view=3, multires=6,
+                     multires_view=4, skips=[2], use_viewdirs=True)
+    t_ref = TF.RefColor()
+    # materialize RefColor's LazyLinears with feature width 64
+    t_ref(torch.zeros(2, 3), torch.zeros(2, 256), torch.zeros(2, 3),
+          torch.ones(2, 3))
+
+    t_renderer = TR.NeuSRenderer(
+        n_samples=16, n_importance=8, n_outside=8, up_sample_steps=2,
+        perturb=0.0, nerf=t_nerf, sdf_network=t_sdf,
+        deviation_network=t_dev, color_network=t_color,
+        refColor_network=t_ref)
+
+    jcfg = JR.RendererConfig(
+        n_samples=16, n_importance=8, n_outside=8, up_sample_steps=2,
+        perturb=0.0,
+        sdf=JF.SDFConfig(d_out=257, d_hidden=64, n_layers=4, skip_in=(2,),
+                         multires=6),
+        rendering=JF.RenderingConfig(d_feature=256, d_hidden=64, n_layers=4),
+        nerf=JF.NeRFConfig(D=4, W=64, multires=6, multires_view=4,
+                           skips=(2,)),
+        refcolor=JF.RefColorConfig(d_feature=256))
+    jparams = {
+        "sdf": t2j_sdf(t_sdf),
+        "variance": {"variance": jnp.asarray(float(_np(t_dev.variance)))},
+        "color": t2j_rendering(t_color),
+        "nerf": t2j_nerf(t_nerf),
+        "ref_color": t2j_refcolor(t_ref),
+    }
+    return t_renderer, jcfg, jparams
+
+
+def _rays(B=24):
+    rng = np.random.RandomState(42)
+    rays_o = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (B, 1))
+    ang = np.linspace(-0.35, 0.35, B).astype(np.float32)
+    rays_d = np.stack([np.sin(ang), 0.08 * rng.randn(B).astype(np.float32),
+                       np.cos(ang)], -1)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    a = np.sum(rays_d ** 2, -1, keepdims=True)
+    b = 2.0 * np.sum(rays_o * rays_d, -1, keepdims=True)
+    mid = 0.5 * (-b) / a
+    return rays_o, rays_d.astype(np.float32), mid - 1.0, mid + 1.0
+
+
+def test_render_parity_full():
+    """Full render(): up-sample ladder, background NeRF, core compositing,
+    surface-color branch — same weights, same rays, perturb=0."""
+    t_renderer, jcfg, jparams = _build_pair()
+    rays_o, rays_d, near, far = _rays()
+
+    t_out = t_renderer.render(torch.from_numpy(rays_o),
+                              torch.from_numpy(rays_d),
+                              torch.from_numpy(near), torch.from_numpy(far),
+                              perturb_overwrite=0, cos_anneal_ratio=0.37)
+    j_out = JR.render(jparams, jcfg, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                      jnp.asarray(near), jnp.asarray(far), key=None,
+                      cos_anneal_ratio=0.37, perturb_overwrite=0.0)
+
+    np.testing.assert_array_equal(np.asarray(j_out["sdf_mask"]),
+                                  _np(t_out["sdf_mask"]).astype(bool))
+    for k, tol in (("color_fine", 2e-4), ("weight_sum", 2e-4),
+                   ("weight_max", 2e-4), ("s_val", 1e-4)):
+        np.testing.assert_allclose(np.asarray(j_out[k]), _np(t_out[k]),
+                                   atol=tol, err_msg=k)
+    np.testing.assert_allclose(float(j_out["gradient_error"]),
+                               float(_np(t_out["gradient_error"])), atol=2e-4)
+    # surface color only meaningful on masked rays (reference leaves ones
+    # elsewhere; so do we)
+    m = _np(t_out["sdf_mask"]).astype(bool)
+    np.testing.assert_allclose(np.asarray(j_out["surface_color"])[m],
+                               _np(t_out["surface_color"])[m], atol=3e-4)
+
+
+def test_stage1_loss_parity():
+    """The 4-term stage-1 loss computed by both frameworks on the same
+    render outputs agrees (ref:exp_runner.py:162-177)."""
+    t_renderer, jcfg, jparams = _build_pair()
+    rays_o, rays_d, near, far = _rays()
+    rng = np.random.RandomState(7)
+    true_rgb = rng.rand(rays_o.shape[0], 3).astype(np.float32)
+    mask = (rng.rand(rays_o.shape[0], 1) > 0.3).astype(np.float32)
+
+    tcfg = TrainConfig(igr_weight=0.1, mask_weight=0.1, surface_weight=0.1)
+
+    # --- torch side, transcribing exp_runner.py:160-177 ---
+    t_out = t_renderer.render(torch.from_numpy(rays_o),
+                              torch.from_numpy(rays_d),
+                              torch.from_numpy(near), torch.from_numpy(far),
+                              perturb_overwrite=0, cos_anneal_ratio=0.37)
+    F = torch.nn.functional
+    t_rgb = torch.from_numpy(true_rgb)
+    t_mask = torch.from_numpy(mask)
+    mask_sum = t_mask.sum() + 1e-5
+    sdf_mask = t_out["sdf_mask"]
+    mask_sdf_sum = t_mask[sdf_mask].sum() + 1e-5
+    color_error = (t_out["color_fine"] - t_rgb) * t_mask
+    color_loss = F.l1_loss(color_error, torch.zeros_like(color_error),
+                           reduction="sum") / mask_sum
+    surf_err = tcfg.surface_weight * (t_out["surface_color"][sdf_mask]
+                                      - t_rgb[sdf_mask]) * t_mask[sdf_mask]
+    surface_loss = F.l1_loss(surf_err, torch.zeros_like(surf_err),
+                             reduction="sum") / mask_sdf_sum
+    eik = t_out["gradient_error"]
+    mask_loss = F.binary_cross_entropy(
+        t_out["weight_sum"].clip(1e-3, 1.0 - 1e-3), t_mask)
+    t_loss = (color_loss + surface_loss + eik * tcfg.igr_weight
+              + mask_loss * tcfg.mask_weight)
+
+    # --- jax side through the framework's own loss ---
+    j_out = JR.render(jparams, jcfg, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                      jnp.asarray(near), jnp.asarray(far), key=None,
+                      cos_anneal_ratio=0.37, perturb_overwrite=0.0)
+    j_loss, j_metrics = JL.stage1_losses(j_out, jnp.asarray(true_rgb),
+                                         jnp.asarray(mask), tcfg,
+                                         reduce=lambda x: x)
+    np.testing.assert_allclose(float(j_metrics["color_loss"]),
+                               float(color_loss), atol=2e-4)
+    np.testing.assert_allclose(float(j_metrics["surface_loss"]),
+                               float(surface_loss), atol=2e-4)
+    np.testing.assert_allclose(float(j_metrics["eikonal_loss"]), float(eik),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(j_metrics["mask_loss"]),
+                               float(mask_loss), atol=2e-4)
+    np.testing.assert_allclose(float(j_loss), float(t_loss), atol=5e-4)
