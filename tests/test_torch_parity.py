@@ -372,3 +372,80 @@ def test_stage1_loss_parity():
     np.testing.assert_allclose(float(j_metrics["mask_loss"]),
                                float(mask_loss), atol=2e-4)
     np.testing.assert_allclose(float(j_loss), float(t_loss), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# .pth checkpoint importer
+# ---------------------------------------------------------------------------
+
+def test_torch_pth_import(tmp_path):
+    """Save a reference-format .pth checkpoint, import it, and verify the
+    imported params reproduce the torch render; then round-trip through the
+    framework's native npz format (ref:exp_runner.py:266-278)."""
+    from models import inverRender as TIR                    # reference
+    from factored_neus_tpu.utils import torch_import as TI
+    from factored_neus_tpu.utils import checkpoints as CK
+
+    t_renderer, jcfg, _ = _build_pair()
+    t_lvis = TF.Lvis()
+    t_indi = TF.IndirectLight(num_lgt_sgs=24)
+    t_mat = TIR.EnvmapMaterialNetwork(num_lgt_sgs=16)
+    t_lvis(torch.zeros(2, 3), torch.zeros(2, 3))             # materialize
+    t_indi(torch.zeros(2, 3))
+    t_mat.net_cs(torch.zeros(2, 90))                         # LazyLinear
+
+    pth = str(tmp_path / "ckpt_001234.pth")
+    torch.save({
+        "nerf": t_renderer.nerf.state_dict(),
+        "sdf_network_fine": t_renderer.sdf_network.state_dict(),
+        "variance_network_fine": t_renderer.deviation_network.state_dict(),
+        "color_network_fine": t_renderer.color_network.state_dict(),
+        "refColor_network": t_renderer.refColor_network.state_dict(),
+        "lvis_network": t_lvis.state_dict(),
+        "indiLgt_network": t_indi.state_dict(),
+        "mateIllu_network": t_mat.state_dict(),
+        "optimizer": {"state": {}, "param_groups": []},
+        "iter_step": 1234,
+    }, pth)
+
+    groups = TI.load_torch_checkpoint(pth)
+    assert groups["iter_step"] == 1234
+    jparams = TI.params_from_torch_checkpoint(
+        torch.load(pth, map_location="cpu", weights_only=False))
+    assert set(jparams) == {"nerf", "sdf", "variance", "color", "ref_color",
+                            "lvis", "indirect", "material"}
+
+    # imported weights drive this framework to the reference's output
+    rays_o, rays_d, near, far = _rays(B=12)
+    t_out = t_renderer.render(torch.from_numpy(rays_o),
+                              torch.from_numpy(rays_d),
+                              torch.from_numpy(near), torch.from_numpy(far),
+                              perturb_overwrite=0, cos_anneal_ratio=1.0)
+    j_out = JR.render(jparams, jcfg, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                      jnp.asarray(near), jnp.asarray(far), key=None,
+                      cos_anneal_ratio=1.0, perturb_overwrite=0.0)
+    np.testing.assert_allclose(np.asarray(j_out["color_fine"]),
+                               _np(t_out["color_fine"]), atol=2e-4)
+
+    # lvis / indirect / material groups converted with correct shapes
+    np.testing.assert_allclose(
+        np.asarray(JF.lvis_apply(jparams["lvis"], JF.LvisConfig(),
+                                 jnp.zeros((4, 3)), jnp.ones((4, 3)))),
+        _np(t_lvis(torch.zeros(4, 3), torch.ones(4, 3))), atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(JF.indirect_light_apply(
+            jparams["indirect"], JF.IndirectLightConfig(),
+            jnp.full((4, 3), 0.2))),
+        _np(t_indi(torch.full((4, 3), 0.2))), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(jparams["material"]["lgtSGs"]),
+                               _np(t_mat.lgtSGs), atol=1e-6)
+
+    # CLI path: .pth -> native npz a runner can --is_continue from
+    exp_dir = str(tmp_path / "exp")
+    out_path = TI.import_to_exp_dir(pth, exp_dir)
+    assert out_path.endswith("ckpt_001234.npz")
+    loaded = CK.load_checkpoint(out_path)
+    assert int(loaded["iter_step"]) == 1234
+    np.testing.assert_allclose(
+        loaded["sdf_network_fine"][0]["v"],
+        np.asarray(jparams["sdf"][0]["v"]), atol=0)
