@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark: stage-1 training-step throughput (rays/sec/chip).
+"""Benchmark: stage-1 training-step throughput (rays/sec/chip) + MFU.
 
 This is the BASELINE.json primary metric.  The workload is the reference's
 stage-1 DTU configuration (wmask: 64 uniform + 64 importance samples, 4
@@ -8,16 +8,30 @@ Adam) at the reference's 512-ray batch, on one chip, with device-side ray
 generation — i.e. the same per-iteration semantics as
 `python exp_runner.py --mode train` in the PyTorch reference.
 
-vs_baseline: ratio against BASELINE_RAYS_PER_SEC = 3000, a documented
-estimate of the PyTorch reference's single-GPU throughput (NeuS-family
-codebases train 300k x 512-ray iterations in ~13-16h on a V100/3090-class
-GPU => ~2.7-3.3k rays/s; the reference adds the RefColor surface branch on
-top of NeuS, so 3000 is a favorable-to-the-reference estimate).  The
-north-star target is vs_baseline >= 5 (BASELINE.md).
+vs_baseline: ratio against BASELINE_RAYS_PER_SEC = 3000, an estimate of the
+PyTorch reference's single-GPU throughput (NeuS-family codebases train
+300k x 512-ray iterations in ~13-16h on a V100/3090-class GPU => ~2.7-3.3k
+rays/s; the reference adds the RefColor surface branch on top of NeuS, so
+3000 is favorable to the reference).  Corroboration: the measured torch
+reference step on this host's CPU and the FLOP-model scaling argument are
+recorded in BENCHMARKS.md ("baseline grounding").  North star:
+vs_baseline >= 5 (BASELINE.md).
 
-Prints ONE JSON line.
+MFU accounting: FLOPs/step come from XLA's own cost analysis of the
+compiled train step (the compiler's count of the program actually executed,
+not a hand model).  Peak is the v5e (TPU v5 lite) bf16 MXU peak.  The
+companion `hbm_frac` is XLA's bytes-accessed estimate divided by peak HBM
+bandwidth — >1 per wall-second means the step is bandwidth-bound (bytes
+accessed is a pre-fusion upper bound).
+
+Modes:
+  python bench.py            one JSON line (driver contract)
+  python bench.py --curve    batch-scaling sweep 512..8192, one line each
+  python bench.py --shard    data-parallel step over all local devices
+                             (graceful no-op message on 1 device)
 """
 import json
+import sys
 import time
 
 import jax
@@ -37,6 +51,10 @@ BASELINE_RAYS_PER_SEC = 3000.0
 BATCH = 512
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
+
+# TPU v5e (v5 lite) single-chip peaks
+PEAK_BF16_FLOPS = 197e12          # MXU bf16
+PEAK_HBM_BYTES_PER_S = 819e9      # HBM bandwidth
 
 
 def make_scene(n_views=4, H=128, W=128):
@@ -67,20 +85,37 @@ def make_scene(n_views=4, H=128, W=128):
     }
 
 
-def main():
+def measure(batch: int, mesh=None, measure_steps: int = MEASURE_STEPS):
+    """Compile + time the stage-1 train step at `batch` rays; returns a dict
+    with rays/s and the XLA cost-analysis-derived MFU numbers."""
     from factored_neus_tpu.models.renderer import RendererConfig
     from factored_neus_tpu.train import stage1
     from factored_neus_tpu.train.common import TrainConfig, init_all_params
 
     cfg = RendererConfig(n_samples=64, n_importance=64, n_outside=0,
                          up_sample_steps=4)
-    tcfg = TrainConfig(batch_size=BATCH, end_iter=300000, warm_up_end=5000,
+    tcfg = TrainConfig(batch_size=batch, end_iter=300000, warm_up_end=5000,
                        anneal_end=0.0, mask_weight=0.1)
     params = init_all_params(jax.random.PRNGKey(0), cfg)
-    opt_init, step_fn = stage1.make_train_step(cfg, tcfg, mesh=None)
+    opt_init, step_fn = stage1.make_train_step(cfg, tcfg, mesh=mesh)
     opt_state = opt_init(params)
     data = make_scene()
     key = jax.random.PRNGKey(1)
+
+    # XLA's FLOP/bytes count of the compiled program (before running:
+    # lower+compile is cached, so this is cheap on repeat runs)
+    flops_per_step = bytes_per_step = None
+    try:
+        comp = step_fn.lower(params, opt_state, data, jnp.asarray(0),
+                             key, jnp.asarray(0)).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        if ca:
+            flops_per_step = float(ca.get("flops", 0.0)) or None
+            bytes_per_step = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass                       # cost analysis is best-effort
 
     # warmup (includes compile); the value fetch is the only reliable sync
     # point on tunneled PJRT backends (block_until_ready returns eagerly)
@@ -92,7 +127,7 @@ def main():
     float(m["loss"])
 
     t0 = time.perf_counter()
-    for it in range(MEASURE_STEPS):
+    for it in range(measure_steps):
         params, opt_state, m = step_fn(params, opt_state, data,
                                        jnp.asarray(it % 4),
                                        jax.random.fold_in(key, 100 + it),
@@ -101,12 +136,68 @@ def main():
     float(m["loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_sec = MEASURE_STEPS * BATCH / dt
+    step_s = dt / measure_steps
+    out = {"batch": batch, "rays_per_sec": measure_steps * batch / dt,
+           "step_ms": step_s * 1e3}
+    if flops_per_step:
+        n_dev = 1 if mesh is None else mesh.devices.size
+        out["tflops_per_sec"] = flops_per_step / step_s / 1e12
+        out["mfu"] = flops_per_step / step_s / (PEAK_BF16_FLOPS * n_dev)
+        if bytes_per_step:
+            out["hbm_frac"] = (bytes_per_step / step_s
+                               / (PEAK_HBM_BYTES_PER_S * n_dev))
+    return out
+
+
+def main():
+    args = set(sys.argv[1:])
+
+    if "--shard" in args:
+        devices = jax.devices()
+        if len(devices) < 2:
+            print(json.dumps({
+                "metric": "stage1_train_rays_per_sec_sharded",
+                "value": None, "unit": "rays/s",
+                "note": f"only {len(devices)} device(s) present; sharded "
+                        "bench needs >=2 — no-op",
+            }))
+            return
+        from factored_neus_tpu.parallel import sharding as SH
+        mesh = SH.make_mesh(devices)
+        r = measure(BATCH * len(devices), mesh=mesh)
+        print(json.dumps({
+            "metric": "stage1_train_rays_per_sec_sharded",
+            "value": round(r["rays_per_sec"], 1),
+            "unit": "rays/s",
+            "n_devices": len(devices),
+            "per_chip": round(r["rays_per_sec"] / len(devices), 1),
+            **({"mfu": round(r["mfu"], 4)} if "mfu" in r else {}),
+        }))
+        return
+
+    if "--curve" in args:
+        for batch in (512, 1024, 2048, 4096, 8192):
+            r = measure(batch)
+            print(json.dumps({
+                "metric": "stage1_train_rays_per_sec_per_chip",
+                "value": round(r["rays_per_sec"], 1), "unit": "rays/s",
+                "batch": batch, "step_ms": round(r["step_ms"], 2),
+                **({"tflops_per_sec": round(r["tflops_per_sec"], 2),
+                    "mfu": round(r["mfu"], 4)} if "mfu" in r else {}),
+                **({"hbm_frac": round(r["hbm_frac"], 3)}
+                   if "hbm_frac" in r else {}),
+            }), flush=True)
+        return
+
+    r = measure(BATCH)
     print(json.dumps({
         "metric": "stage1_train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(r["rays_per_sec"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(r["rays_per_sec"] / BASELINE_RAYS_PER_SEC, 3),
+        **({"tflops_per_sec": round(r["tflops_per_sec"], 2),
+            "mfu": round(r["mfu"], 4)} if "mfu" in r else {}),
+        **({"hbm_frac": round(r["hbm_frac"], 3)} if "hbm_frac" in r else {}),
     }))
 
 

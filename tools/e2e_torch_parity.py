@@ -1,0 +1,290 @@
+#!/usr/bin/env python
+"""End-to-end cross-framework parity: train the torch reference AND this
+framework stage-1 on the SAME fabricated DTU scene with the SAME conf, then
+compare loss trajectories, validation PSNR, and chamfer distance to the
+analytic ground-truth sphere.
+
+The torch side runs the actual /root/reference exp_runner.Runner on CPU
+(via tools/ref_compat.py shims — its real code paths, our mcubes/pyhocon
+backends). RNG streams differ between frameworks, so trajectories are
+compared by convergence level, not bitwise.
+
+Usage:
+  python tools/e2e_torch_parity.py setup  <workdir> [iters]
+  python tools/e2e_torch_parity.py torch  <workdir>        # CPU, slow
+  python tools/e2e_torch_parity.py jax    <workdir>
+  python tools/e2e_torch_parity.py compare <workdir>       # prints table
+
+Ref anchors: exp_runner.py:124-238 (train loop), sh_dtu.sh:5-15.
+"""
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+CASE = "fake_scan"
+SPHERE_R = 0.5                       # the fabricated scene's GT object
+
+# Reference-compatible conf: the reference render_core hardcodes feature
+# width 256 (ref:models/renderer.py:290,300), so d_out=257 / d_feature=256
+# are mandatory; everything else is shrunk for CPU feasibility.
+PARITY_CONF = """
+general {{
+    base_exp_dir_geo = {exp}/geometry
+    base_exp_dir_lvis = {exp}/lvis
+    base_exp_dir_mateIllu = {exp}/mateIllu
+    base_exp_dir = {exp}/geometry
+    recording = []
+}}
+dataset {{
+    data_dir = {data}
+    render_cameras_name = cameras_sphere.npz
+    object_cameras_name = cameras_sphere.npz
+}}
+train {{
+    learning_rate = 5e-4
+    learning_rate_alpha = 0.05
+    end_iter = {iters}
+    batch_size = 64
+    validate_resolution_level = 2
+    warm_up_end = 50
+    anneal_end = 0
+    use_white_bkgd = False
+    save_freq = 1000000
+    val_freq = 1000000
+    val_mesh_freq = 1000000
+    report_freq = 25
+    igr_weight = 0.1
+    mask_weight = 0.1
+}}
+model {{
+    nerf {{
+        D = 2, d_in = 4, d_in_view = 3, W = 32,
+        multires = 4, multires_view = 2, output_ch = 4,
+        skips = [], use_viewdirs = True
+    }}
+    sdf_network {{
+        d_out = 257, d_in = 3, d_hidden = 64, n_layers = 4,
+        skip_in = [2], multires = 6, bias = 0.5, scale = 1.0,
+        geometric_init = True, weight_norm = True
+    }}
+    variance_network {{
+        init_val = 0.3
+    }}
+    rendering_network {{
+        d_feature = 256, mode = idr, d_in = 9, d_out = 3,
+        d_hidden = 64, n_layers = 4, weight_norm = True,
+        multires_view = 4, squeeze_out = True
+    }}
+    neus_renderer {{
+        n_samples = 16, n_importance = 16, n_outside = 0,
+        up_sample_steps = 2, perturb = 1.0
+    }}
+}}
+"""
+
+
+def setup(workdir: str, iters: int = 1000):
+    from make_fake_dtu import make_fake_dtu_scene
+    data_dir = os.path.join(workdir, "data", CASE)
+    make_fake_dtu_scene(data_dir, n_views=3, H=64, W=80)
+    conf = PARITY_CONF.format(exp=os.path.join(workdir, "exp_CASE_NAME"),
+                              data=os.path.join(workdir, "data", "CASE_NAME"),
+                              iters=iters)
+    conf_path = os.path.join(workdir, "parity.conf")
+    with open(conf_path, "w") as f:
+        f.write(conf.replace("exp_CASE_NAME", "exp/CASE_NAME"))
+    print(f"scene + conf at {workdir} (iters={iters})")
+    return conf_path
+
+
+def _psnr_curveless(pred_u8_scale, gt_255):
+    """PSNR on the same 1/256 normalization both trainers use."""
+    a = np.asarray(pred_u8_scale, np.float64) / 256.0
+    b = np.asarray(gt_255, np.float64) / 256.0
+    mse = np.mean((a - b) ** 2)
+    return float(20.0 * np.log10(1.0 / np.sqrt(mse)))
+
+
+def _chamfer_vs_sphere(mesh_path: str):
+    """Mesh (PLY) vs analytic sphere of radius SPHERE_R: (d2s, s2d) means.
+    Uses this framework's native KD-tree + area-uniform mesh sampling."""
+    from factored_neus_tpu.evaltools.pointcloud import (nn_distances,
+                                                        sample_mesh_points)
+    from factored_neus_tpu.meshing.ply import read_ply_mesh
+    verts, faces = read_ply_mesh(mesh_path)
+    pts = sample_mesh_points(verts, faces, 0.01)   # density-based sampling
+    # keep reconstruction points near the object (both frameworks may carry
+    # faint background structure outside the unit sphere)
+    pts = pts[np.linalg.norm(pts, axis=-1) < 0.9]
+    rng = np.random.RandomState(1)
+    v = rng.randn(100_000, 3)
+    gt = SPHERE_R * v / np.linalg.norm(v, axis=-1, keepdims=True)
+    d2s = float(np.mean(nn_distances(pts.astype(np.float32),
+                                     gt.astype(np.float32))))
+    s2d = float(np.mean(nn_distances(gt.astype(np.float32),
+                                     pts.astype(np.float32))))
+    return d2s, s2d
+
+
+def run_torch(workdir: str):
+    sys.path.insert(0, HERE)
+    import ref_compat
+    ref_compat.install()
+    import torch
+    from torch.utils.tensorboard import SummaryWriter
+
+    curve = []
+    orig_add = SummaryWriter.add_scalar
+
+    def capture(self, tag, value, step=None, *a, **k):
+        if tag in ("Loss/loss", "Loss/color_loss", "Loss/eikonal_loss",
+                   "Statistics/psnr"):
+            curve.append({"step": int(step), "tag": tag,
+                          "value": float(value)})
+        return orig_add(self, tag, value, step, *a, **k)
+
+    SummaryWriter.add_scalar = capture
+
+    os.chdir(workdir)                    # reference file_backup copies ./
+    from exp_runner import Runner        # the reference
+    conf_path = os.path.join(workdir, "parity.conf")
+    runner = Runner(conf_path, "train", CASE, False, "dtu")
+    runner.train()
+
+    # validation PSNR on view 0 at half conf resolution level
+    level = 2
+    rays_o, rays_d = runner.dataset.gen_rays_at(0, resolution_level=level)
+    H, W, _ = rays_o.shape
+    ro = rays_o.reshape(-1, 3).split(runner.batch_size)
+    rd = rays_d.reshape(-1, 3).split(runner.batch_size)
+    out = []
+    with torch.no_grad():
+        pass                            # render still needs sdf autograd
+    for o, d in zip(ro, rd):
+        near, far = runner.dataset.near_far_from_sphere(o, d)
+        r = runner.renderer.render(o, d, near, far,
+                                   cos_anneal_ratio=runner.get_cos_anneal_ratio())
+        out.append(r["color_fine"].detach().cpu().numpy())
+    img = (np.concatenate(out).reshape(H, W, 3) * 256).clip(0, 255)
+    gt = runner.dataset.image_at(0, resolution_level=level)
+    psnr = _psnr_curveless(img, gt)
+
+    runner.validate_mesh(world_space=False, resolution=96)
+    meshes = sorted(glob.glob(os.path.join(runner.base_exp_dir,
+                                           "meshes", "*.ply")))
+    d2s, s2d = _chamfer_vs_sphere(meshes[-1])
+
+    res = {"framework": "torch-reference", "curve": curve,
+           "psnr_view0": psnr, "chamfer_d2s": d2s, "chamfer_s2d": s2d,
+           "iter_step": runner.iter_step}
+    with open(os.path.join(workdir, "torch_result.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({k: v for k, v in res.items() if k != "curve"}))
+
+
+def run_jax(workdir: str):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from factored_neus_tpu.train.runner1 import Runner
+    from factored_neus_tpu.utils.logging import MetricsWriter
+
+    curve = []
+    orig = MetricsWriter.scalars
+
+    def capture(self, scalars, step):
+        for tag in ("Loss/loss", "Loss/color_loss", "Loss/eikonal_loss",
+                    "Statistics/psnr"):
+            if tag in scalars:
+                curve.append({"step": int(step), "tag": tag,
+                              "value": float(scalars[tag])})
+        return orig(self, scalars, step)
+
+    MetricsWriter.scalars = capture
+
+    conf_path = os.path.join(workdir, "parity.conf")
+    runner = Runner(conf_path, "train", CASE, False, "dtu")
+    runner.train()
+
+    level = 2
+    rays_o, rays_d = runner.dataset.gen_rays_at(0, resolution_level=level)
+    res_img = runner._render_image(rays_o, rays_d, keys=("color_fine",))
+    img = (res_img["color_fine"] * 256).clip(0, 255)
+    gt = runner.dataset.image_at(0, resolution_level=level)
+    psnr = _psnr_curveless(img, gt)
+
+    runner.validate_mesh(world_space=False, resolution=96)
+    meshes = sorted(glob.glob(os.path.join(runner.base_exp_dir,
+                                           "meshes", "*.ply")))
+    d2s, s2d = _chamfer_vs_sphere(meshes[-1])
+
+    res = {"framework": "factored_neus_tpu", "curve": curve,
+           "psnr_view0": psnr, "chamfer_d2s": d2s, "chamfer_s2d": s2d,
+           "iter_step": runner.iter_step}
+    with open(os.path.join(workdir, "jax_result.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({k: v for k, v in res.items() if k != "curve"}))
+
+
+def compare(workdir: str):
+    with open(os.path.join(workdir, "torch_result.json")) as f:
+        t = json.load(f)
+    with open(os.path.join(workdir, "jax_result.json")) as f:
+        j = json.load(f)
+
+    def tail(res, tag, n=4):
+        vals = [c["value"] for c in res["curve"] if c["tag"] == tag]
+        return float(np.mean(vals[-n:])) if vals else float("nan")
+
+    rows = [
+        ("final loss (mean of last 4 reports)", tail(t, "Loss/loss"),
+         tail(j, "Loss/loss")),
+        ("final color L1", tail(t, "Loss/color_loss"),
+         tail(j, "Loss/color_loss")),
+        ("final eikonal", tail(t, "Loss/eikonal_loss"),
+         tail(j, "Loss/eikonal_loss")),
+        ("train-batch PSNR", tail(t, "Statistics/psnr"),
+         tail(j, "Statistics/psnr")),
+        ("validation PSNR (view 0)", t["psnr_view0"], j["psnr_view0"]),
+        ("chamfer d2s vs GT sphere", t["chamfer_d2s"], j["chamfer_d2s"]),
+        ("chamfer s2d vs GT sphere", t["chamfer_s2d"], j["chamfer_s2d"]),
+    ]
+    print(f"| metric ({t['iter_step']} iters) | torch reference (CPU) |"
+          " factored_neus_tpu |")
+    print("|---|---|---|")
+    for name, tv, jv in rows:
+        print(f"| {name} | {tv:.4f} | {jv:.4f} |")
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    cmd, workdir = sys.argv[1], os.path.abspath(sys.argv[2])
+    os.makedirs(workdir, exist_ok=True)
+    if cmd == "setup":
+        setup(workdir, int(sys.argv[3]) if len(sys.argv) > 3 else 1000)
+    elif cmd == "torch":
+        run_torch(workdir)
+    elif cmd == "jax":
+        run_jax(workdir)
+    elif cmd == "compare":
+        compare(workdir)
+    else:
+        print(__doc__)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
