@@ -105,11 +105,17 @@ def setup(workdir: str, iters: int = 1000):
     return conf_path
 
 
-def _psnr_curveless(pred_u8_scale, gt_255):
-    """PSNR on the same 1/256 normalization both trainers use."""
+def _psnr_curveless(pred_u8_scale, gt_255, mask=None):
+    """PSNR on the same 1/256 normalization both trainers use. With `mask`
+    [H,W] the mean runs over foreground pixels only (mask training leaves
+    the background unsupervised)."""
     a = np.asarray(pred_u8_scale, np.float64) / 256.0
     b = np.asarray(gt_255, np.float64) / 256.0
-    mse = np.mean((a - b) ** 2)
+    se = (a - b) ** 2
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        se = se[m]
+    mse = np.mean(se)
     return float(20.0 * np.log10(1.0 / np.sqrt(mse)))
 
 
@@ -175,7 +181,12 @@ def run_torch(workdir: str):
         out.append(r["color_fine"].detach().cpu().numpy())
     img = (np.concatenate(out).reshape(H, W, 3) * 256).clip(0, 255)
     gt = runner.dataset.image_at(0, resolution_level=level)
+    mask = np.asarray(runner.dataset.masks[0].cpu().numpy())[::level, ::level, 0] > 0.5
+    mask = mask[:H, :W]
+    np.savez(os.path.join(workdir, "torch_view0.npz"), img=img, gt=gt,
+             mask=mask)
     psnr = _psnr_curveless(img, gt)
+    psnr_fg = _psnr_curveless(img, gt, mask)
 
     runner.validate_mesh(world_space=False, resolution=96)
     meshes = sorted(glob.glob(os.path.join(runner.base_exp_dir,
@@ -183,7 +194,8 @@ def run_torch(workdir: str):
     d2s, s2d = _chamfer_vs_sphere(meshes[-1])
 
     res = {"framework": "torch-reference", "curve": curve,
-           "psnr_view0": psnr, "chamfer_d2s": d2s, "chamfer_s2d": s2d,
+           "psnr_view0": psnr, "psnr_view0_fg": psnr_fg,
+           "chamfer_d2s": d2s, "chamfer_s2d": s2d,
            "iter_step": runner.iter_step}
     with open(os.path.join(workdir, "torch_result.json"), "w") as f:
         json.dump(res, f, indent=1)
@@ -221,7 +233,13 @@ def run_jax(workdir: str):
     res_img = runner._render_image(rays_o, rays_d, keys=("color_fine",))
     img = (res_img["color_fine"] * 256).clip(0, 255)
     gt = runner.dataset.image_at(0, resolution_level=level)
+    H, W = img.shape[:2]
+    mask = np.asarray(runner.dataset.masks[0])[::level, ::level, 0] > 0.5
+    mask = mask[:H, :W]
+    np.savez(os.path.join(workdir, "jax_view0.npz"), img=img, gt=gt,
+             mask=mask)
     psnr = _psnr_curveless(img, gt)
+    psnr_fg = _psnr_curveless(img, gt, mask)
 
     runner.validate_mesh(world_space=False, resolution=96)
     meshes = sorted(glob.glob(os.path.join(runner.base_exp_dir,
@@ -229,7 +247,8 @@ def run_jax(workdir: str):
     d2s, s2d = _chamfer_vs_sphere(meshes[-1])
 
     res = {"framework": "factored_neus_tpu", "curve": curve,
-           "psnr_view0": psnr, "chamfer_d2s": d2s, "chamfer_s2d": s2d,
+           "psnr_view0": psnr, "psnr_view0_fg": psnr_fg,
+           "chamfer_d2s": d2s, "chamfer_s2d": s2d,
            "iter_step": runner.iter_step}
     with open(os.path.join(workdir, "jax_result.json"), "w") as f:
         json.dump(res, f, indent=1)
@@ -255,7 +274,11 @@ def compare(workdir: str):
          tail(j, "Loss/eikonal_loss")),
         ("train-batch PSNR", tail(t, "Statistics/psnr"),
          tail(j, "Statistics/psnr")),
-        ("validation PSNR (view 0)", t["psnr_view0"], j["psnr_view0"]),
+        ("validation PSNR (view 0, full)", t["psnr_view0"],
+         j["psnr_view0"]),
+        ("validation PSNR (view 0, foreground)",
+         t.get("psnr_view0_fg", float("nan")),
+         j.get("psnr_view0_fg", float("nan"))),
         ("chamfer d2s vs GT sphere", t["chamfer_d2s"], j["chamfer_d2s"]),
         ("chamfer s2d vs GT sphere", t["chamfer_s2d"], j["chamfer_s2d"]),
     ]
