@@ -79,9 +79,19 @@ def sdf_init(key, cfg: SDFConfig):
     return layers
 
 
-def sdf_apply(params, cfg: SDFConfig, inputs: jnp.ndarray) -> jnp.ndarray:
-    """inputs [N,3] -> [N, d_out] = [sdf | feature]. ref:fields.py:74-91."""
-    apply = M.wn_dense_apply if cfg.weight_norm else M.dense_apply
+def sdf_apply(params, cfg: SDFConfig, inputs: jnp.ndarray,
+              act_dtype=None) -> jnp.ndarray:
+    """inputs [N,3] -> [N, d_out] = [sdf | feature]. ref:fields.py:74-91.
+
+    act_dtype (e.g. bf16) stores the hidden activations at reduced
+    precision — used for the no-grad sampling sweeps where the sdf only
+    steers importance-sample placement; the PE input and the output stay
+    f32."""
+    if act_dtype is None:
+        apply = M.wn_dense_apply if cfg.weight_norm else M.dense_apply
+    else:
+        wrap = M.wn_dense_apply_act if cfg.weight_norm else M.dense_apply_act
+        apply = lambda p, x: wrap(p, x, act_dtype)
     inputs = inputs * cfg.scale
     if cfg.multires > 0:
         inputs = positional_encoding(inputs, cfg.multires)
@@ -90,10 +100,15 @@ def sdf_apply(params, cfg: SDFConfig, inputs: jnp.ndarray) -> jnp.ndarray:
     inv_sqrt2 = 1.0 / np.sqrt(2.0)
     for l in range(n_layers):
         if l in cfg.skip_in:
-            x = jnp.concatenate([x, inputs], axis=-1) * inv_sqrt2
+            x = jnp.concatenate([x.astype(inputs.dtype), inputs],
+                                axis=-1) * inv_sqrt2
         x = apply(params[l], x)
         if l < n_layers - 1:
             x = M.softplus_beta(x, 100.0)
+            if act_dtype is not None:
+                # materialize hidden activations at act_dtype so the HBM
+                # round-trip between layers runs at half width
+                x = x.astype(act_dtype)
     return jnp.concatenate([x[:, :1] / cfg.scale, x[:, 1:]], axis=-1)
 
 

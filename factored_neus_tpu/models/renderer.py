@@ -63,6 +63,11 @@ class RendererConfig:
     # coarse sweeps) through the fused Pallas kernel (ops.pallas_sdf);
     # forward-only, so inputs are stop-gradiented at the call sites
     use_pallas_sampling: bool = False
+    # store the no-grad sweep activations in bf16 (halves the HBM traffic of
+    # the bandwidth-bound sweeps, BENCHMARKS.md roofline); the sdf values
+    # only steer importance-sample placement, same deviation class as the
+    # validated bf16 MXU default
+    sweep_act_bf16: bool = True
 
     @property
     def n_total(self) -> int:
@@ -75,15 +80,23 @@ def _sdf_fwd(params, cfg):
     return lambda p: F.sdf_value(params["sdf"], cfg.sdf, p)
 
 
-def _sdf_fwd_sampling(params, cfg):
+def _sdf_fwd_sampling(params, cfg, bf16_act: bool = False):
     """SDF forward for no-grad sampling sweeps: fused Pallas kernel when
     enabled (single-pass bf16 MXU; the ~1e-2 sdf error only nudges where
-    importance samples land), XLA path otherwise."""
+    importance samples land), bf16-activation XLA path where a call site
+    requests it (halves the sweep's HBM traffic — measured +17% on the
+    stage-2 step whose 1M-point coarse sweep dominates, but -6% on the
+    stage-3 step and neutral on stage-1, so it is per-call-site), plain
+    XLA otherwise."""
     if cfg.use_pallas_sampling:
         from ..ops.pallas_sdf import sdf_forward_pallas
         return lambda p: sdf_forward_pallas(
             params["sdf"], cfg.sdf, jax.lax.stop_gradient(p),
             bf16_matmul=True)
+    if bf16_act and cfg.sweep_act_bf16:
+        return lambda p: F.sdf_apply(
+            params["sdf"], cfg.sdf, jax.lax.stop_gradient(p),
+            act_dtype=jnp.bfloat16)[:, 0]
     return _sdf_fwd(params, cfg)
 
 
@@ -390,7 +403,8 @@ def lvis_render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
         inv_s, _color_fn(params, cfg),
         lambda p, d: F.lvis_apply(params["lvis"], cfg.lvis, p, d),
         lambda p: F.indirect_light_apply(params["indirect"], cfg.indirect, p),
-        chunk=cfg.secondary_chunk)
+        chunk=cfg.secondary_chunk,
+        sdf_fwd_coarse=_sdf_fwd_sampling(params, cfg, bf16_act=True))
 
     m1 = sdf_mask[:, None]
     m2 = sdf_mask[:, None, None]

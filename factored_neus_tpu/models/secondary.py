@@ -138,11 +138,19 @@ def cal_fir_hit_rgb(sdf_apply_full, sdf_grad, color_fn, rays_o, rays_d,
 
 def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
                  inv_s, color_fn, lvis_fn, indirect_fn,
-                 chunk: int = 131072) -> Dict[str, jnp.ndarray]:
+                 chunk: int = 131072,
+                 sdf_fwd_coarse=None) -> Dict[str, jnp.ndarray]:
     """Distillation targets from M=4 cosine-hemisphere secondary rays per
     surface point. Returns gt/pre lvis [P,4] and trace radiance [P,4,3].
     ref:calLvis.py:339-409.
+
+    sdf_fwd_coarse (optional) is used ONLY for the 512-sample coarse sweep
+    that places the fine samples — a reduced-precision forward is safe
+    there; the distillation targets themselves (compute_weight /
+    cal_fir_hit_rgb) always go through sdf_fwd.
     """
+    if sdf_fwd_coarse is None:
+        sdf_fwd_coarse = sdf_fwd
     P = surf.shape[0]
     k1, k2 = jax.random.split(key)
     r_theta = jax.random.uniform(k1, (P, N_HEMI_DIRS)) * 2.0 * np.pi
@@ -161,7 +169,7 @@ def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
     pts_coarse = (surf_flat[:, None, :]
                   + dirs_flat[:, None, :] * z_coarse[:, :, None])
     coarse_sdf = jax.lax.stop_gradient(
-        chunked_apply(sdf_fwd, pts_coarse.reshape(-1, 3), chunk)
+        chunked_apply(sdf_fwd_coarse, pts_coarse.reshape(-1, 3), chunk)
     ).reshape(P * N_HEMI_DIRS, N_COARSE)
 
     z_fine = S.up_sample(surf_flat, dirs_flat, z_coarse, coarse_sdf,

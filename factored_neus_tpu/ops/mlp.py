@@ -55,6 +55,29 @@ def dense_apply(p, x):
                    preferred_element_type=jnp.float32) + p["b"]
 
 
+def dense_apply_act(p, x, act_dtype):
+    """Dense layer with `act_dtype` activation storage: the [N,d] input is
+    read from HBM at act_dtype (the convert fuses into the GEMM's operand
+    load), accumulation stays f32, and the output is stored back at
+    act_dtype. Halves activation HBM traffic at bf16 — the bottleneck for
+    the big no-grad SDF sweeps (see BENCHMARKS.md roofline)."""
+    w = p["w"].astype(act_dtype)
+    y = jnp.dot(x.astype(act_dtype), w,
+                preferred_element_type=jnp.float32) + p["b"]
+    return y
+
+
+def wn_dense_apply_act(p, x, act_dtype):
+    """Weight-normed layer with act_dtype activation storage (see
+    dense_apply_act); the g*v/||v|| weight materialization stays f32."""
+    v, g = p["v"], p["g"]
+    col_norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    w = (v * (g[None, :] / jnp.maximum(col_norm, 1e-12))).astype(act_dtype)
+    y = jnp.dot(x.astype(act_dtype), w,
+                preferred_element_type=jnp.float32) + p["b"]
+    return y
+
+
 def weight_norm_wrap(w: jnp.ndarray, b: jnp.ndarray):
     """Convert a materialized weight into weight-norm params (g = ||w|| cols)."""
     g = jnp.linalg.norm(w, axis=0)
