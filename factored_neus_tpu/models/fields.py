@@ -123,15 +123,19 @@ def sdf_gradient(params, cfg: SDFConfig, x: jnp.ndarray) -> jnp.ndarray:
     return jax.grad(lambda p: jnp.sum(sdf_value(params, cfg, p)))(x)
 
 
-def sdf_value_and_grad_feat(params, cfg: SDFConfig, x: jnp.ndarray):
+def sdf_value_and_grad_feat(params, cfg: SDFConfig, x: jnp.ndarray,
+                            act_dtype=None):
     """(sdf [N], feature [N,256], grad [N,3]) from ONE forward pass.
 
     jax.vjp shares the forward between the (sdf|feature) outputs and the
     input-gradient of the sdf channel — the reference pays two forwards
     (ref:renderer.py:238-242 calls forward then .gradient()).  The vjp
     closure stays differentiable, so the eikonal double-backprop works.
+    act_dtype=bf16 stores the forward residuals at half width (the backward
+    reads them back; accumulation stays f32).
     """
-    out, vjp_fn = jax.vjp(lambda p: sdf_apply(params, cfg, p), x)
+    out, vjp_fn = jax.vjp(
+        lambda p: sdf_apply(params, cfg, p, act_dtype=act_dtype), x)
     ct = jnp.zeros_like(out).at[:, 0].set(1.0)
     (grad,) = vjp_fn(ct)
     return out[:, 0], out[:, 1:], grad
@@ -177,9 +181,14 @@ def rendering_init(key, cfg: RenderingConfig):
 
 
 def rendering_apply(params, cfg: RenderingConfig, points, normals, view_dirs,
-                    feature_vectors) -> jnp.ndarray:
-    """ref:fields.py:150-175."""
-    apply = M.wn_dense_apply if cfg.weight_norm else M.dense_apply
+                    feature_vectors, act_dtype=None) -> jnp.ndarray:
+    """ref:fields.py:150-175. act_dtype=bf16 stores hidden activations (and
+    vjp residuals) at half width; in/out stay f32."""
+    if act_dtype is None:
+        apply = M.wn_dense_apply if cfg.weight_norm else M.dense_apply
+    else:
+        wrap = M.wn_dense_apply_act if cfg.weight_norm else M.dense_apply_act
+        apply = lambda p, x: wrap(p, x, act_dtype)
     if cfg.multires_view > 0:
         view_dirs = positional_encoding(view_dirs, cfg.multires_view)
     if cfg.mode == "idr":
@@ -195,6 +204,8 @@ def rendering_apply(params, cfg: RenderingConfig, points, normals, view_dirs,
         x = apply(params[l], x)
         if l < n - 1:
             x = jax.nn.relu(x)
+            if act_dtype is not None:
+                x = x.astype(act_dtype)
     return jax.nn.sigmoid(x) if cfg.squeeze_out else x
 
 

@@ -25,6 +25,7 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Any, Dict, Optional
 
 import jax
@@ -68,6 +69,12 @@ class RendererConfig:
     # only steer importance-sample placement, same deviation class as the
     # validated bf16 MXU default
     sweep_act_bf16: bool = True
+    # store the DIFFERENTIABLE core's activations + vjp residuals in bf16:
+    # +8.7% stage-1 step, quality-validated at full architecture (2k-iter
+    # sphere convergence: PSNR/chamfer statistically identical to f32 —
+    # BENCHMARKS.md). FNEUS_CORE_ACT_BF16=0 restores f32 for ablations,
+    # like FNEUS_MATMUL_PRECISION.
+    core_act_bf16: bool = _os.environ.get("FNEUS_CORE_ACT_BF16", "1") == "1"
 
     @property
     def n_total(self) -> int:
@@ -160,9 +167,12 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
     pts_flat = pts.reshape(-1, 3)
     dirs_flat = dirs.reshape(-1, 3)
 
+    core_act = jnp.bfloat16 if cfg.core_act_bf16 else None
+
     def geometry(sdf_params, x):
         # single shared forward for (sdf | feature) and the sdf gradient
-        s_val, feat, grad = F.sdf_value_and_grad_feat(sdf_params, cfg.sdf, x)
+        s_val, feat, grad = F.sdf_value_and_grad_feat(sdf_params, cfg.sdf, x,
+                                                      act_dtype=core_act)
         return s_val[:, None], feat, grad
 
     if bool(cfg.remat):
@@ -189,7 +199,8 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
         (pts_norm < 1.2).astype(z_vals.dtype))
     inside_sphere_mask = jnp.sum(inside_sphere, -1) > 0.0        # [B]
 
-    color_fn = lambda cp, *a: F.rendering_apply(cp, cfg.rendering, *a)
+    color_fn = lambda cp, *a: F.rendering_apply(cp, cfg.rendering, *a,
+                                                act_dtype=core_act)
     if bool(cfg.remat):
         color_fn = jax.checkpoint(color_fn)
     sampled_color = color_fn(params["color"], pts_flat, gradients, dirs_flat,
