@@ -75,6 +75,15 @@ class RendererConfig:
     # BENCHMARKS.md). FNEUS_CORE_ACT_BF16=0 restores f32 for ablations,
     # like FNEUS_MATMUL_PRECISION.
     core_act_bf16: bool = _os.environ.get("FNEUS_CORE_ACT_BF16", "1") == "1"
+    # fused Pallas geometry core (ops.pallas_geometry): PE+SDF+input-grad
+    # forward and the full custom-VJP backward run VMEM-resident (+10%
+    # stage-1 step; quality-validated, BENCHMARKS.md) — equivalence-tested
+    # vs the XLA path (tests/test_pallas_geometry.py). None = auto: on for
+    # TPU backends, off elsewhere (interpret mode is slow);
+    # FNEUS_PALLAS_GEOMETRY=0/1 overrides.
+    use_pallas_geometry: "bool | None" = (
+        None if _os.environ.get("FNEUS_PALLAS_GEOMETRY", "auto") == "auto"
+        else _os.environ.get("FNEUS_PALLAS_GEOMETRY") == "1")
 
     @property
     def n_total(self) -> int:
@@ -169,14 +178,27 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
 
     core_act = jnp.bfloat16 if cfg.core_act_bf16 else None
 
-    def geometry(sdf_params, x):
-        # single shared forward for (sdf | feature) and the sdf gradient
-        s_val, feat, grad = F.sdf_value_and_grad_feat(sdf_params, cfg.sdf, x,
-                                                      act_dtype=core_act)
-        return s_val[:, None], feat, grad
+    use_pg = cfg.use_pallas_geometry
+    if use_pg is None:                      # auto: TPU yes, CPU/other no
+        from ..ops.pallas_sdf import on_tpu
+        use_pg = on_tpu()
+    if use_pg:
+        from ..ops.pallas_geometry import sdf_value_grad_feat_pallas
 
-    if bool(cfg.remat):
-        geometry = jax.checkpoint(geometry)
+        def geometry(sdf_params, x):
+            s_val, feat, grad = sdf_value_grad_feat_pallas(
+                sdf_params, cfg.sdf, x, bf16=cfg.core_act_bf16)
+            return s_val[:, None], feat, grad
+        # no jax.checkpoint: the custom-VJP backward recomputes in VMEM
+    else:
+        def geometry(sdf_params, x):
+            # single shared forward for (sdf | feature) and the sdf gradient
+            s_val, feat, grad = F.sdf_value_and_grad_feat(
+                sdf_params, cfg.sdf, x, act_dtype=core_act)
+            return s_val[:, None], feat, grad
+
+        if bool(cfg.remat):
+            geometry = jax.checkpoint(geometry)
     sdf, feature, gradients = geometry(params["sdf"], pts_flat)
 
     inv_s = jnp.clip(F.variance_inv_s(params["variance"]), 1e-6, 1e6)

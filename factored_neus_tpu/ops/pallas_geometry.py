@@ -1,0 +1,457 @@
+"""Fused Pallas TPU kernels for the differentiable geometry core.
+
+The stage-1 hot loop evaluates, per sample point: PE -> SDF MLP ->
+(sdf | feature) AND the input-gradient of the sdf (surface normals +
+eikonal), then backpropagates through all of it (the reference pays a
+forward plus an autograd double-backprop, ref:models/renderer.py:238-252).
+The XLA version is HBM-bandwidth-bound: every layer's activations and vjp
+residuals round-trip HBM (BENCHMARKS.md roofline: MFU pinned ~12-13%, HBM
+frac ~1.0 at every batch size).
+
+These kernels keep the entire computation VMEM-resident per row-block:
+
+* fwd — one pass computing out=[sdf|feat] and grad=dsdf/dx. The gradient
+  is an in-kernel reverse sweep (cotangent e1) over pre-activations held in
+  VMEM scratch. HBM traffic: read x, write (out, grad).
+* bwd — given cotangents (ct_out, ct_grad), recomputes the forward in VMEM
+  (fused remat) plus a forward-mode tangent seeded with ct_grad, then
+  reverse-sweeps BOTH chains. This is reverse-over-forward: the
+  Hessian-vector term d/d{x,W}[grad . ct_grad] is the reverse of the JVP
+  along ct_grad, because grad . ct_grad = D_{ct_grad}(sdf). Weight/bias
+  gradients accumulate in the sequential grid's revisited output blocks.
+  HBM traffic: read (x, ct_out, ct_grad), write ct_x + one [in,out] grad
+  per layer.
+
+The custom_vjp is defined over EFFECTIVE weights [in,out] (+biases); the
+weight-norm (g, v) chain stays in XLA param-space ops so jax.grad composes
+(ops.pallas_sdf.effective_weights). Math parity: fields.sdf_apply /
+sdf_value_and_grad_feat (softplus beta=100, skip concat / sqrt(2), PE
+ordering [x, sin f0 x, cos f0 x, ...], cfg.scale; ref:models/fields.py:
+74-111). Equivalence is asserted by tests/test_pallas_geometry.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_sdf import (LANE, _pad1, _pad2, _round_up, effective_weights,
+                         on_tpu)
+
+BLOCK_ROWS = 256
+
+
+def _dims(cfg):
+    dims = cfg.dims
+    L = len(dims) - 1
+    ins, outs = [], []
+    for l in range(L):
+        ins.append(dims[l])
+        outs.append(dims[l + 1] - (dims[0] if (l + 1) in cfg.skip_in else 0))
+    return dims, ins, outs, L
+
+
+def _mm_fns(bf16: bool):
+    mm = jnp.bfloat16 if bf16 else jnp.float32
+
+    def dot(a, b):
+        return jnp.dot(a.astype(mm), b.astype(mm),
+                       preferred_element_type=jnp.float32)
+
+    def dot_bt(a, b):   # a @ b.T
+        return jax.lax.dot_general(
+            a.astype(mm), b.astype(mm), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dot_at(a, b):   # a.T @ b
+        return jax.lax.dot_general(
+            a.astype(mm), b.astype(mm), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return dot, dot_bt, dot_at
+
+
+@functools.lru_cache(maxsize=None)
+def _specialize(cfg, bf16: bool):
+    """Closure constants + the shared primal/tangent/reverse sweep pieces."""
+    dims, ins, outs, L = _dims(cfg)
+    d_embed, d_raw = cfg.d_embed, cfg.d_in
+    EP = _round_up(d_embed, LANE)
+    OP = _round_up(dims[-1], LANE)
+    ins_p = tuple(_round_up(d, LANE) for d in ins)
+    outs_p = tuple(_round_up(d, LANE) for d in outs)
+    MAXW = max(outs_p)
+    skip = frozenset(cfg.skip_in)
+    freqs = tuple(float(2.0 ** i) for i in range(cfg.multires))
+    inv_sqrt2 = float(1.0 / np.sqrt(2.0))
+    scale = float(cfg.scale)
+    dot, dot_bt, dot_at = _mm_fns(bf16)
+
+    def encode(xyz, tangent_v=None):
+        """PE of u (+ its tangent along v). Returns padded [B, EP]."""
+        B = xyz.shape[0]
+        zpad = jnp.zeros((B, EP - d_embed), jnp.float32)
+        parts = [xyz]
+        dparts = [tangent_v] if tangent_v is not None else None
+        for f in freqs:
+            us = xyz * f
+            s, c = jnp.sin(us), jnp.cos(us)
+            parts += [s, c]
+            if dparts is not None:
+                dparts += [c * (f * tangent_v), -s * (f * tangent_v)]
+        enc = jnp.concatenate(parts + [zpad], -1)
+        if dparts is None:
+            return enc, None
+        return enc, jnp.concatenate(dparts + [zpad], -1)
+
+    def cat_skip(t, e, l, B):
+        """Skip concat in the padded layout: [h | e | zero-pad] / sqrt(2)."""
+        width = ins[l] - d_embed
+        pieces = [t[:, :width], e[:, :d_embed]]
+        pad = ins_p[l] - ins[l]
+        if pad:
+            pieces.append(jnp.zeros((B, pad), jnp.float32))
+        return jnp.concatenate(pieces, -1) * inv_sqrt2
+
+    def pe_backward(xyz, r_enc, r_denc=None, v=None):
+        """Cotangent of u from cotangents of enc (and of its tangent)."""
+        ct_u = r_enc[:, :d_raw]
+        if r_denc is not None:
+            ct_u = ct_u + 0.0 * r_denc[:, :d_raw]     # d(v)/du = 0
+        off = d_raw
+        for f in freqs:
+            us = xyz * f
+            s, c = jnp.sin(us), jnp.cos(us)
+            ct_u = ct_u + f * (r_enc[:, off:off + d_raw] * c
+                               - r_enc[:, off + d_raw:off + 2 * d_raw] * s)
+            if r_denc is not None:
+                fv = f * v
+                # d/du [ f v cos(fu) ] = -f^2 v sin(fu); d/du [ -f v sin ] =
+                # -f^2 v cos
+                ct_u = ct_u - f * fv * (
+                    r_denc[:, off:off + d_raw] * s
+                    + r_denc[:, off + d_raw:off + 2 * d_raw] * c)
+            off += 2 * d_raw
+        return ct_u
+
+    consts = dict(dims=dims, ins=ins, outs=outs, L=L, d_embed=d_embed,
+                  d_raw=d_raw, EP=EP, OP=OP, ins_p=ins_p, outs_p=outs_p,
+                  MAXW=MAXW, skip=skip, freqs=freqs, inv_sqrt2=inv_sqrt2,
+                  scale=scale, dot=dot, dot_bt=dot_bt, dot_at=dot_at,
+                  encode=encode, cat_skip=cat_skip, pe_backward=pe_backward)
+    return consts
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fwd_kernel(cfg, bf16: bool):
+    C = _specialize(cfg, bf16)
+    L, skip = C["L"], C["skip"]
+    d_raw, d_embed = C["d_raw"], C["d_embed"]
+    ins, outs, ins_p, outs_p = C["ins"], C["outs"], C["ins_p"], C["outs_p"]
+    EP, OP, scale = C["EP"], C["OP"], C["scale"]
+    dot, dot_bt = C["dot"], C["dot_bt"]
+    encode, cat_skip, pe_backward = (C["encode"], C["cat_skip"],
+                                     C["pe_backward"])
+
+    def kernel(pts_ref, *refs):
+        w_refs = refs[:L]
+        b_refs = refs[L:2 * L]
+        out_ref, grad_ref = refs[2 * L], refs[2 * L + 1]
+        a_s = refs[2 * L + 2]                       # [L, B, MAXW]
+
+        B = pts_ref.shape[0]
+        xyz = pts_ref[:, :d_raw] * scale
+        enc, _ = encode(xyz)
+
+        # ---- forward, stashing pre-activations ---------------------------
+        x = enc
+        for l in range(L):
+            if l in skip:
+                x = cat_skip(x, enc, l, B)
+            a = dot(x[:, :ins_p[l]], w_refs[l][:, :]) + b_refs[l][0, :]
+            a_s[l, :, :outs_p[l]] = a
+            x = jnp.logaddexp(0.0, a * 100.0) * 0.01 if l < L - 1 else a
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, OP), 1)
+        out_ref[:, :] = x * jnp.where(col == 0, 1.0 / scale, 1.0)
+
+        # ---- reverse sweep with cotangent e1/scale -> dsdf/dx ------------
+        r = jnp.where(col == 0, 1.0 / scale, 0.0)   # [B, OP]
+        r_enc = jnp.zeros((B, EP), jnp.float32)
+        for l in range(L - 1, -1, -1):
+            r_in = dot_bt(r[:, :outs_p[l]], w_refs[l][:, :])   # [B, ins_p]
+            if l in skip:
+                r_in = r_in * C["inv_sqrt2"]
+                hw = ins[l] - d_embed
+                r_enc = r_enc + jnp.concatenate(
+                    [r_in[:, hw:ins[l]],
+                     jnp.zeros((B, EP - d_embed), jnp.float32)], -1)
+                colw = jax.lax.broadcasted_iota(jnp.int32, r_in.shape, 1)
+                r_in = jnp.where(colw < hw, r_in, 0.0)
+            if l == 0:
+                r_enc = r_enc + r_in[:, :EP]
+            else:
+                sig = jax.nn.sigmoid(100.0 * a_s[l - 1, :, :outs_p[l - 1]])
+                r = r_in[:, :outs_p[l - 1]] * sig
+        ct_u = pe_backward(xyz, r_enc)
+        g = ct_u * scale
+        grad_ref[:, :] = jnp.concatenate(
+            [g, jnp.zeros((B, LANE - d_raw), jnp.float32)], -1)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bwd_kernel(cfg, bf16: bool):
+    C = _specialize(cfg, bf16)
+    L, skip = C["L"], C["skip"]
+    d_raw, d_embed = C["d_raw"], C["d_embed"]
+    ins, outs, ins_p, outs_p = C["ins"], C["outs"], C["ins_p"], C["outs_p"]
+    EP, OP, scale = C["EP"], C["OP"], C["scale"]
+    dot, dot_bt, dot_at = C["dot"], C["dot_bt"], C["dot_at"]
+    encode, cat_skip, pe_backward = (C["encode"], C["cat_skip"],
+                                     C["pe_backward"])
+    inv_sqrt2 = C["inv_sqrt2"]
+
+    def layer_input(l, h, enc, B):
+        """Padded input of layer l given post-activation h of layer l-1."""
+        return cat_skip(h, enc, l, B) if l in skip else h
+
+    def kernel(pts_ref, ct_out_ref, ct_g_ref, *refs):
+        w_refs = refs[:L]
+        b_refs = refs[L:2 * L]
+        ctx_ref = refs[2 * L]
+        ctw_refs = refs[2 * L + 1: 3 * L + 1]
+        ctb_refs = refs[3 * L + 1: 4 * L + 1]
+        a_s = refs[4 * L + 1]                       # [L, B, MAXW] primal
+        ad_s = refs[4 * L + 2]                      # [L, B, MAXW] tangent
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for l in range(L):
+                ctw_refs[l][:, :] = jnp.zeros_like(ctw_refs[l])
+                ctb_refs[l][:, :] = jnp.zeros_like(ctb_refs[l])
+
+        B = pts_ref.shape[0]
+        xyz = pts_ref[:, :d_raw] * scale
+        v = ct_g_ref[:, :d_raw] * scale             # tangent of u = scale*x
+        enc, denc = encode(xyz, v)
+
+        # ---- forward: primal + tangent, stash pre-activations ------------
+        x, xd = enc, denc
+        for l in range(L):
+            if l in skip:
+                x = cat_skip(x, enc, l, B)
+                xd = cat_skip(xd, denc, l, B)
+            a = dot(x[:, :ins_p[l]], w_refs[l][:, :]) + b_refs[l][0, :]
+            ad = dot(xd[:, :ins_p[l]], w_refs[l][:, :])
+            a_s[l, :, :outs_p[l]] = a
+            ad_s[l, :, :outs_p[l]] = ad
+            if l < L - 1:
+                sig = jax.nn.sigmoid(100.0 * a)
+                x = jnp.logaddexp(0.0, a * 100.0) * 0.01
+                xd = sig * ad
+            else:
+                x, xd = a, ad
+
+        # ---- reverse over (primal, tangent) -------------------------------
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, OP), 1)
+        colscale = jnp.where(col == 0, 1.0 / scale, 1.0)
+        r = ct_out_ref[:, :] * colscale              # cot of a_{L-1}
+        rd = jnp.where(col == 0, 1.0 / scale, 0.0)   # cot of ad_{L-1}
+        r_enc = jnp.zeros((B, EP), jnp.float32)
+        r_denc = jnp.zeros((B, EP), jnp.float32)
+        for l in range(L - 1, -1, -1):
+            # layer-l input (recomputed from stashed pre-activations)
+            if l == 0:
+                x_l, xd_l = enc, denc
+            else:
+                a_prev = a_s[l - 1, :, :outs_p[l - 1]]
+                sig_prev = jax.nn.sigmoid(100.0 * a_prev)
+                h_prev = jnp.logaddexp(0.0, a_prev * 100.0) * 0.01
+                hd_prev = sig_prev * ad_s[l - 1, :, :outs_p[l - 1]]
+                x_l = layer_input(l, h_prev, enc, B)
+                xd_l = layer_input(l, hd_prev, denc, B)
+            # param grads (padded-row garbage is sliced off outside)
+            ctw_refs[l][:, :] += (dot_at(x_l[:, :ins_p[l]], r[:, :outs_p[l]])
+                                  + dot_at(xd_l[:, :ins_p[l]],
+                                           rd[:, :outs_p[l]]))
+            ctb_refs[l][:, :] += jnp.sum(r[:, :outs_p[l]], axis=0,
+                                         keepdims=True)
+            # input cotangents
+            r_in = dot_bt(r[:, :outs_p[l]], w_refs[l][:, :])
+            rd_in = dot_bt(rd[:, :outs_p[l]], w_refs[l][:, :])
+            if l in skip:
+                r_in = r_in * inv_sqrt2
+                rd_in = rd_in * inv_sqrt2
+                hw = ins[l] - d_embed
+                zp = jnp.zeros((B, EP - d_embed), jnp.float32)
+                r_enc = r_enc + jnp.concatenate([r_in[:, hw:ins[l]], zp], -1)
+                r_denc = r_denc + jnp.concatenate([rd_in[:, hw:ins[l]], zp],
+                                                  -1)
+                colw = jax.lax.broadcasted_iota(jnp.int32, r_in.shape, 1)
+                r_in = jnp.where(colw < hw, r_in, 0.0)
+                rd_in = jnp.where(colw < hw, rd_in, 0.0)
+            if l == 0:
+                r_enc = r_enc + r_in[:, :EP]
+                r_denc = r_denc + rd_in[:, :EP]
+            else:
+                a_prev = a_s[l - 1, :, :outs_p[l - 1]]
+                ad_prev = ad_s[l - 1, :, :outs_p[l - 1]]
+                sig = jax.nn.sigmoid(100.0 * a_prev)
+                dsig = 100.0 * sig * (1.0 - sig)
+                r_h = r_in[:, :outs_p[l - 1]]
+                rd_h = rd_in[:, :outs_p[l - 1]]
+                # h = sp(a): dh/da = sig ; hd = sig*ad:
+                #   d(hd)/da = 100 sig (1-sig) ad, d(hd)/d(ad) = sig
+                r = r_h * sig + rd_h * dsig * ad_prev
+                rd = rd_h * sig
+        ct_u = pe_backward(xyz, r_enc, r_denc, v)
+        ct_x = ct_u * scale
+        ctx_ref[:, :] = jnp.concatenate(
+            [ct_x, jnp.zeros((B, LANE - d_raw), jnp.float32)], -1)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _interpret() -> bool:
+    return not on_tpu()
+
+
+@functools.lru_cache(maxsize=None)
+def _make_geom(cfg, bf16: bool, block_rows: int):
+    """Returns f(ws, bs, x) -> (out [N,d_out], grad [N,3]) with custom VJP.
+    ws/bs are the UNPADDED effective per-layer weights/biases."""
+    C = _specialize(cfg, bf16)
+    L = C["L"]
+    ins_p, outs_p, OP, MAXW = C["ins_p"], C["outs_p"], C["OP"], C["MAXW"]
+    d_out = C["dims"][-1]
+    fwd_kernel = _build_fwd_kernel(cfg, bf16)
+    bwd_kernel = _build_bwd_kernel(cfg, bf16)
+
+    def pad_params(ws, bs):
+        ws_p = [_pad2(w, ins_p[l], outs_p[l]) for l, w in enumerate(ws)]
+        bs_p = [_pad1(b, outs_p[l])[None, :] for l, b in enumerate(bs)]
+        return ws_p, bs_p
+
+    def param_specs():
+        specs = []
+        for l in range(L):
+            specs.append(pl.BlockSpec((ins_p[l], outs_p[l]),
+                                      lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        for l in range(L):
+            specs.append(pl.BlockSpec((1, outs_p[l]), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        return specs
+
+    def run_fwd(ws, bs, x):
+        N = x.shape[0]
+        n_pad = _round_up(max(N, 8), block_rows)
+        x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(x)
+        ws_p, bs_p = pad_params(ws, bs)
+        grid = (n_pad // block_rows,)
+        out, grad = pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] + param_specs(),
+            out_specs=[
+                pl.BlockSpec((block_rows, OP), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, OP), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((L, block_rows, MAXW), jnp.float32)],
+            interpret=_interpret(),
+        )(x_p, *ws_p, *bs_p)
+        return out[:N, :d_out], grad[:N, :3]
+
+    def run_bwd(ws, bs, x, ct_out, ct_g):
+        N = x.shape[0]
+        n_pad = _round_up(max(N, 8), block_rows)
+        x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(x)
+        cto_p = jnp.zeros((n_pad, OP), jnp.float32).at[:N, :d_out].set(ct_out)
+        ctg_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(ct_g)
+        ws_p, bs_p = pad_params(ws, bs)
+        grid = (n_pad // block_rows,)
+        out_specs = [pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)]
+        for l in range(L):          # accumulated across the sequential grid
+            out_specs.append(pl.BlockSpec((ins_p[l], outs_p[l]),
+                                          lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((ins_p[l], outs_p[l]), jnp.float32))
+        for l in range(L):
+            out_specs.append(pl.BlockSpec((1, outs_p[l]), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((1, outs_p[l]), jnp.float32))
+        res = pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            in_specs=(
+                [pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((block_rows, OP), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] + param_specs()),
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((L, block_rows, MAXW), jnp.float32),
+                pltpu.VMEM((L, block_rows, MAXW), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(x_p, cto_p, ctg_p, *ws_p, *bs_p)
+        ct_x = res[0][:N, :3]
+        ct_ws = tuple(res[1 + l][: ws[l].shape[0], : ws[l].shape[1]]
+                      for l in range(L))
+        ct_bs = tuple(res[1 + L + l][0, : bs[l].shape[0]] for l in range(L))
+        return ct_ws, ct_bs, ct_x
+
+    @jax.custom_vjp
+    def geom(ws, bs, x):
+        return run_fwd(ws, bs, x)
+
+    def geom_fwd(ws, bs, x):
+        return run_fwd(ws, bs, x), (ws, bs, x)
+
+    def geom_bwd(res, cts):
+        ws, bs, x = res
+        ct_out, ct_g = cts
+        return run_bwd(ws, bs, x, ct_out, ct_g)
+
+    geom.defvjp(geom_fwd, geom_bwd)
+    return geom
+
+
+def sdf_value_grad_feat_pallas(params, cfg, x: jnp.ndarray,
+                               bf16: bool = True,
+                               block_rows: int = BLOCK_ROWS
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """Drop-in fused replacement for fields.sdf_value_and_grad_feat:
+    (sdf [N], feature [N, d_out-1], grad [N,3]), differentiable w.r.t.
+    params (incl. weight-norm) and x."""
+    ws, bs = effective_weights(params, cfg)
+    geom = _make_geom(cfg, bool(bf16), int(block_rows))
+    out, grad = geom(tuple(ws), tuple(bs), x)
+    return out[:, 0], out[:, 1:], grad
