@@ -221,6 +221,12 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
         (pts_norm < 1.2).astype(z_vals.dtype))
     inside_sphere_mask = jnp.sum(inside_sphere, -1) > 0.0        # [B]
 
+    # NOTE: a fused Pallas radiance kernel exists (ops.pallas_radiance,
+    # equivalence-tested) but measured SLOWER in-step (20.1k vs 25.2k
+    # rays/s): its HBM traffic is dominated by the unavoidable [N,256]
+    # feature input + ct_feat output, so the fusion saves little while the
+    # serialized in-kernel recompute loses XLA's overlapped backward.
+    # Ledger: BENCHMARKS.md "measured but rejected".
     color_fn = lambda cp, *a: F.rendering_apply(cp, cfg.rendering, *a,
                                                 act_dtype=core_act)
     if bool(cfg.remat):

@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_sdf import (LANE, _pad1, _pad2, _round_up, effective_weights,
                          on_tpu)
 
-BLOCK_ROWS = 256
+import os as _os
+
+BLOCK_ROWS = int(_os.environ.get("FNEUS_PG_BLOCK", "256"))
 
 
 def _dims(cfg):

@@ -105,3 +105,52 @@ def test_bf16_variant_close():
                                             block_rows=64)
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=3e-2)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Fused radiance MLP (ops.pallas_radiance)
+# ---------------------------------------------------------------------------
+
+def _rad_setup(n=150, seed=0):
+    from factored_neus_tpu.ops import pallas_radiance as PR
+    cfg = F.RenderingConfig(d_feature=64, d_hidden=64, n_layers=3,
+                            multires_view=4)
+    params = F.rendering_init(jax.random.PRNGKey(seed), cfg)
+    k = jax.random.split(jax.random.PRNGKey(seed + 1), 4)
+    pts = jax.random.normal(k[0], (n, 3)) * 0.4
+    normals = jax.random.normal(k[1], (n, 3))
+    dirs = jax.random.normal(k[2], (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, -1, keepdims=True)
+    feat = jax.random.normal(k[3], (n, 64)) * 0.5
+    return PR, cfg, params, (pts, normals, dirs, feat)
+
+
+def test_radiance_fwd_matches_xla():
+    PR, cfg, params, (pts, normals, dirs, feat) = _rad_setup()
+    ref = F.rendering_apply(params, cfg, pts, normals, dirs, feat)
+    out = PR.rendering_apply_pallas(params, cfg, pts, normals, dirs, feat,
+                                    bf16=False, block_rows=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_radiance_bwd_matches_xla():
+    PR, cfg, params, inputs = _rad_setup()
+
+    def loss(fn):
+        def inner(params, pts, normals, dirs, feat):
+            rgb = fn(params, cfg, pts, normals, dirs, feat)
+            return jnp.mean(rgb ** 2) + jnp.sum(rgb[:, 0] * pts[:, 0]) * 1e-3
+        return inner
+
+    ref_fn = loss(lambda p, c, *a: F.rendering_apply(p, c, *a))
+    pal_fn = loss(lambda p, c, *a: PR.rendering_apply_pallas(
+        p, c, *a, bf16=False, block_rows=32))
+
+    np.testing.assert_allclose(float(pal_fn(params, *inputs)),
+                               float(ref_fn(params, *inputs)), rtol=1e-5)
+    g_ref = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4))(params, *inputs)
+    g_pal = jax.grad(pal_fn, argnums=(0, 1, 2, 3, 4))(params, *inputs)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   rtol=1e-4)
