@@ -63,6 +63,15 @@ train {{
     report_freq = 25
     igr_weight = 0.1
     mask_weight = 0.1
+    lvis {{
+        batch_size = 32
+        end_iter = {iters2}
+        warm_up_end = 10
+    }}
+    metaIllu {{
+        batch_size = 32
+        end_iter = {iters2}
+    }}
 }}
 model {{
     nerf {{
@@ -87,17 +96,21 @@ model {{
         n_samples = 16, n_importance = 16, n_outside = 0,
         up_sample_steps = 2, perturb = 1.0
     }}
+    lvis_renderer {{
+        n_samples = 16, n_importance = 16, n_outside = 0,
+        up_sample_steps = 2, perturb = 1.0
+    }}
 }}
 """
 
 
-def setup(workdir: str, iters: int = 1000):
+def setup(workdir: str, iters: int = 1000, iters2: int = 100):
     from make_fake_dtu import make_fake_dtu_scene
     data_dir = os.path.join(workdir, "data", CASE)
     make_fake_dtu_scene(data_dir, n_views=3, H=64, W=80)
     conf = PARITY_CONF.format(exp=os.path.join(workdir, "exp_CASE_NAME"),
                               data=os.path.join(workdir, "data", "CASE_NAME"),
-                              iters=iters)
+                              iters=iters, iters2=iters2)
     conf_path = os.path.join(workdir, "parity.conf")
     with open(conf_path, "w") as f:
         f.write(conf.replace("exp_CASE_NAME", "exp/CASE_NAME"))
@@ -164,6 +177,7 @@ def run_torch(workdir: str):
     conf_path = os.path.join(workdir, "parity.conf")
     runner = Runner(conf_path, "train", CASE, False, "dtu")
     runner.train()
+    runner.save_checkpoint()            # stages 2/3 chain from this
 
     # validation PSNR on view 0 at half conf resolution level
     level = 2
@@ -227,6 +241,7 @@ def run_jax(workdir: str):
     conf_path = os.path.join(workdir, "parity.conf")
     runner = Runner(conf_path, "train", CASE, False, "dtu")
     runner.train()
+    runner.save_checkpoint()            # stages 2/3 chain from this
 
     level = 2
     rays_o, rays_d = runner.dataset.gen_rays_at(0, resolution_level=level)
@@ -253,6 +268,115 @@ def run_jax(workdir: str):
     with open(os.path.join(workdir, "jax_result.json"), "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps({k: v for k, v in res.items() if k != "curve"}))
+
+
+def _capture_torch_curve(tags, stage_box):
+    from torch.utils.tensorboard import SummaryWriter
+    curve = []
+    orig_add = SummaryWriter.add_scalar
+
+    def capture(self, tag, value, step=None, *a, **k):
+        if tag in tags:
+            curve.append({"step": int(step), "tag": tag,
+                          "value": float(value), "stage": stage_box[0]})
+        return orig_add(self, tag, value, step, *a, **k)
+
+    SummaryWriter.add_scalar = capture
+    return curve
+
+
+def run_torch23(workdir: str):
+    """Reference stage-2 (lvis distillation) then stage-3 (materials) on
+    CPU, chained from the stage-1 checkpoint (ref:lvis.py, mateIllu.py)."""
+    sys.path.insert(0, HERE)
+    import ref_compat
+    ref_compat.install()
+    stage_box = [2]
+    curve = _capture_torch_curve(("Loss/loss", "Statistics/psnr"),
+                                 stage_box)
+    os.chdir(workdir)
+    conf_path = os.path.join(workdir, "parity.conf")
+
+    import lvis as ref_lvis                       # the reference
+    r2 = ref_lvis.Runner(conf_path, "train", CASE, False, "dtu")
+    r2.train()
+    r2.save_checkpoint()                # stage 3 chains from this
+
+    stage_box[0] = 3
+    import mateIllu as ref_mate                   # the reference
+    r3 = ref_mate.Runner(conf_path, "train", CASE, False, "dtu")
+    r3.train()
+
+    res = {"framework": "torch-reference", "curve": curve,
+           "iter2": r2.iter_step, "iter3": r3.iter_step}
+    with open(os.path.join(workdir, "torch23_result.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({k: v for k, v in res.items() if k != "curve"}))
+
+
+def run_jax23(workdir: str):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from factored_neus_tpu.train.runner2 import Runner as Runner2
+    from factored_neus_tpu.train.runner3 import Runner as Runner3
+    from factored_neus_tpu.utils.logging import MetricsWriter
+
+    curve = []
+    stage_box = [2]
+    orig = MetricsWriter.scalars
+
+    def capture(self, scalars, step):
+        for tag in ("Loss/loss", "Statistics/psnr"):
+            if tag in scalars:
+                curve.append({"step": int(step), "tag": tag,
+                              "value": float(scalars[tag]),
+                              "stage": stage_box[0]})
+        return orig(self, scalars, step)
+
+    MetricsWriter.scalars = capture
+    conf_path = os.path.join(workdir, "parity.conf")
+    r2 = Runner2(conf_path, "train", CASE, False, "dtu")
+    r2.train()
+    r2.save_checkpoint()                # stage 3 chains from this
+    stage_box[0] = 3
+    r3 = Runner3(conf_path, "train", CASE, False, "dtu")
+    r3.train()
+    res = {"framework": "factored_neus_tpu", "curve": curve,
+           "iter2": r2.iter_step, "iter3": r3.iter_step}
+    with open(os.path.join(workdir, "jax23_result.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({k: v for k, v in res.items() if k != "curve"}))
+
+
+def compare23(workdir: str):
+    with open(os.path.join(workdir, "torch23_result.json")) as f:
+        t = json.load(f)
+    with open(os.path.join(workdir, "jax23_result.json")) as f:
+        j = json.load(f)
+
+    def ends(res, stage, tag):
+        vals = [c["value"] for c in res["curve"]
+                if c["tag"] == tag and c.get("stage") == stage]
+        if not vals:
+            return (float("nan"), float("nan"))
+        # the torch side logs every iter, ours every report_freq — smooth
+        # both over the trailing ~12% so tails are comparable
+        n = max(2, len(vals) // 8)
+        return (float(np.mean(vals[:n])), float(np.mean(vals[-n:])))
+
+    print(f"| metric (stage2 {t['iter2']} it / stage3 {t['iter3']} it)"
+          " | torch reference (CPU) | factored_neus_tpu |")
+    print("|---|---|---|")
+    for name, stage, tag in (
+            ("stage-2 lvis loss", 2, "Loss/loss"),
+            ("stage-3 rgb loss", 3, "Loss/loss"),
+            ("stage-3 train PSNR", 3, "Statistics/psnr")):
+        t0, t1 = ends(t, stage, tag)
+        j0, j1 = ends(j, stage, tag)
+        print(f"| {name} (first->last) | {t0:.4f} -> {t1:.4f} "
+              f"| {j0:.4f} -> {j1:.4f} |")
 
 
 def compare(workdir: str):
@@ -301,8 +425,14 @@ def main():
         run_torch(workdir)
     elif cmd == "jax":
         run_jax(workdir)
+    elif cmd == "torch23":
+        run_torch23(workdir)
+    elif cmd == "jax23":
+        run_jax23(workdir)
     elif cmd == "compare":
         compare(workdir)
+    elif cmd == "compare23":
+        compare23(workdir)
     else:
         print(__doc__)
         return 2

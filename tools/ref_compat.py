@@ -132,6 +132,18 @@ def install(reference_path: str = REFERENCE) -> None:
     if not torch.cuda.is_available():
         torch.Tensor.cuda = lambda self, *a, **k: self
         torch.nn.Module.cuda = lambda self, *a, **k: self
+    # the reference pickles numpy scalars (iter_step) into its checkpoints;
+    # torch>=2.6 weights_only loading rejects them by default. These are our
+    # own harness-produced files.
+    try:
+        import numpy.dtypes as _npdt
+        dtype_classes = [getattr(_npdt, n) for n in dir(_npdt)
+                         if n.endswith("DType")]
+        torch.serialization.add_safe_globals(
+            [np._core.multiarray.scalar, np.dtype, np.int64, np.float64]
+            + dtype_classes)
+    except Exception:
+        pass
 
     if reference_path not in sys.path:
         sys.path.insert(0, reference_path)
