@@ -364,11 +364,14 @@ def lvis_init(key, cfg: LvisConfig = LvisConfig()):
     return M.mlp_init(key, [cfg.d_in, 256, 256, 256, 256, 1])
 
 
-def lvis_apply(params, cfg: LvisConfig, pts, view) -> jnp.ndarray:
-    """(pts, dir) -> visibility [N,1]. ref:fields.py:361-369."""
+def lvis_apply(params, cfg: LvisConfig, pts, view,
+               act_dtype=None) -> jnp.ndarray:
+    """(pts, dir) -> visibility [N,1]. ref:fields.py:361-369.
+    act_dtype=bf16 for the big stop-gradient MC visibility sweeps."""
     x = jnp.concatenate([positional_encoding(pts, cfg.multires_pts),
                          positional_encoding(view, cfg.multires_view)], -1)
-    return M.mlp_apply(params, x, final_activation=jax.nn.sigmoid)
+    return M.mlp_apply(params, x, final_activation=jax.nn.sigmoid,
+                       act_dtype=act_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,7 @@ def _tonemap(x, mode: str):
 
 def get_diffuse_visibility(key, points, normals, lvis_params,
                            lvis_cfg: LvisConfig, lgt_sg_lobes, lgt_sg_lambdas,
-                           nsamp: int = 8) -> jnp.ndarray:
+                           nsamp: int = 8, act_dtype=None) -> jnp.ndarray:
     """SG-weighted mean visibility per (lobe, point): returns [M, P].
     ref:models/inverRender.py:128-192."""
     n_lobe = lgt_sg_lobes.shape[0]
@@ -68,7 +68,8 @@ def get_diffuse_visibility(key, points, normals, lvis_params,
     cos_term = jnp.sum(nrm * input_dir, axis=-1) > TINY
 
     pred = lvis_apply(lvis_params, lvis_cfg,
-                      input_p.reshape(-1, 3), input_dir.reshape(-1, 3))
+                      input_p.reshape(-1, 3), input_dir.reshape(-1, 3),
+                      act_dtype=act_dtype)
     pred = pred.reshape(n_points, n_lobe * nsamp)
     vis = jnp.where(cos_term, pred, 0.0)
     vis = vis.reshape(n_points, n_lobe, nsamp).transpose(1, 2, 0)   # [M,S,P]
@@ -134,8 +135,8 @@ def render_with_sg(points, normal, viewdirs, lgt_sgs, specular_reflectance,
                    specular_albedo, roughness, diffuse_albedo,
                    comp_vis: bool = True, lvis_params=None,
                    lvis_cfg: Optional[LvisConfig] = None, key=None,
-                   vis_nsamp: int = 32, tonemap: str = "srgb"
-                   ) -> Dict[str, jnp.ndarray]:
+                   vis_nsamp: int = 32, tonemap: str = "srgb",
+                   vis_act_dtype=None) -> Dict[str, jnp.ndarray]:
     """SG PBR for one light mixture. lgt_sgs [P, M, 7] (per-point mixtures;
     broadcast the global envmap before calling). ref:models/inverRender.py:314-449."""
     P = normal.shape[0]
@@ -183,7 +184,8 @@ def render_with_sg(points, normal, viewdirs, lgt_sgs, specular_reflectance,
     if comp_vis:
         light_vis = get_diffuse_visibility(
             key, points, normal_e[:, 0, :], lvis_params, lvis_cfg,
-            lobes[0], lambdas[0], nsamp=vis_nsamp)                   # [M,P]
+            lobes[0], lambdas[0], nsamp=vis_nsamp,
+            act_dtype=vis_act_dtype)                                 # [M,P]
         light_vis = jnp.broadcast_to(light_vis.T[:, :, None], (P, Mn, 3))
         lgt_mus = origin_mus * light_vis
         vis_shadow = jnp.mean(light_vis, axis=1)
@@ -212,8 +214,8 @@ def render_with_sg(points, normal, viewdirs, lgt_sgs, specular_reflectance,
 def render_with_all_sg(points, normal, viewdirs, lgt_sgs, specular_reflectance,
                        specular_albedo, roughness, diffuse_albedo,
                        lvis_params=None, lvis_cfg=None, indir_lgt_sgs=None,
-                       key=None, vis_nsamp: int = 32, tonemap: str = "srgb"
-                       ) -> Dict[str, jnp.ndarray]:
+                       key=None, vis_nsamp: int = 32, tonemap: str = "srgb",
+                       vis_act_dtype=None) -> Dict[str, jnp.ndarray]:
     """Direct (learned envmap, with visibility) + indirect (per-point SGs)
     light. ref:models/inverRender.py:286-311."""
     Mn = lgt_sgs.shape[0]
@@ -223,7 +225,7 @@ def render_with_all_sg(points, normal, viewdirs, lgt_sgs, specular_reflectance,
                          specular_albedo, roughness, diffuse_albedo,
                          comp_vis=True, lvis_params=lvis_params,
                          lvis_cfg=lvis_cfg, key=key, vis_nsamp=vis_nsamp,
-                         tonemap=tonemap)
+                         tonemap=tonemap, vis_act_dtype=vis_act_dtype)
     indir_rgb = jnp.zeros_like(points)
     if indir_lgt_sgs is not None:
         indir_rgb = render_with_sg(
@@ -255,6 +257,11 @@ class EnvmapMaterialConfig:
     kl_weight: float = 0.01
     tonemap: str = "srgb"                # 'srgb' for dtu, 'none' for synthetic
     vis_nsamp: int = 32
+    # bf16 activations for the stop-gradient MC visibility sweeps — MEASURED
+    # SLOWER on the stage-3 step (16.5k vs ~20k rays/s at batch 512: the
+    # casts break XLA's PE+GEMM fusion on these wide-but-shallow queries);
+    # kept as an ablation knob, default off (BENCHMARKS.md ledger)
+    vis_act_bf16: bool = False
 
     @property
     def d_pts_enc(self) -> int:
@@ -360,7 +367,9 @@ def envmap_material_apply(params, cfg: EnvmapMaterialConfig, key,
                              specular_albedo, roughness, diffuse_albedo,
                              lvis_params=lvis_params, lvis_cfg=lvis_cfg,
                              indir_lgt_sgs=indi_lgt_sgs, key=key,
-                             vis_nsamp=cfg.vis_nsamp, tonemap=cfg.tonemap)
+                             vis_nsamp=cfg.vis_nsamp, tonemap=cfg.tonemap,
+                             vis_act_dtype=(jnp.bfloat16 if cfg.vis_act_bf16
+                                            else None))
     ret.update({
         "roughness": roughness,
         "diffuse_albedo": jnp.clip(_tonemap(diffuse_albedo, cfg.tonemap), 0., 1.),

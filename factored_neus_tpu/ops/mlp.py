@@ -100,12 +100,19 @@ def mlp_init(key, dims: Sequence[int], dtype=jnp.float32):
             for i, k in enumerate(keys)]
 
 
-def mlp_apply(params, x, activation=jax.nn.relu, final_activation=None):
+def mlp_apply(params, x, activation=jax.nn.relu, final_activation=None,
+              act_dtype=None):
+    """act_dtype (e.g. bf16) stores hidden activations at reduced width —
+    for stop-gradient sweeps where HBM bandwidth dominates (see
+    dense_apply_act)."""
     n = len(params)
     for i, p in enumerate(params):
-        x = dense_apply(p, x)
+        x = dense_apply(p, x) if act_dtype is None \
+            else dense_apply_act(p, x, act_dtype)
         if i < n - 1:
             x = activation(x)
+            if act_dtype is not None:
+                x = x.astype(act_dtype)
     if final_activation is not None:
         x = final_activation(x)
     return x
