@@ -120,6 +120,31 @@ def _sdf_full(params, cfg):
     return lambda p: F.sdf_apply(params["sdf"], cfg.sdf, p)
 
 
+def _use_pallas_geometry(cfg) -> bool:
+    use_pg = cfg.use_pallas_geometry
+    if use_pg is None:                      # auto: TPU yes, CPU/other no
+        from ..ops.pallas_sdf import on_tpu
+        use_pg = on_tpu()
+    return bool(use_pg)
+
+
+def _sdf_fwd_grad_fused(params, cfg):
+    """pts -> (sdf, grad) in ONE fused stop-gradient pass (the Pallas
+    geometry forward) for the detached secondary-ray weight sweeps — the
+    XLA fallback pays a forward plus a vjp sweep. None when unavailable."""
+    if not _use_pallas_geometry(cfg):
+        return None
+    from ..ops.pallas_geometry import sdf_value_grad_feat_pallas
+
+    def f(p):
+        s, _, g = sdf_value_grad_feat_pallas(
+            params["sdf"], cfg.sdf, jax.lax.stop_gradient(p),
+            bf16=cfg.core_act_bf16)
+        return jax.lax.stop_gradient(s), jax.lax.stop_gradient(g)
+
+    return f
+
+
 def _sdf_grad(params, cfg):
     return lambda p: F.sdf_gradient(params["sdf"], cfg.sdf, p)
 
@@ -178,10 +203,7 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
 
     core_act = jnp.bfloat16 if cfg.core_act_bf16 else None
 
-    use_pg = cfg.use_pallas_geometry
-    if use_pg is None:                      # auto: TPU yes, CPU/other no
-        from ..ops.pallas_sdf import on_tpu
-        use_pg = on_tpu()
+    use_pg = _use_pallas_geometry(cfg)
     if use_pg:
         from ..ops.pallas_geometry import sdf_value_grad_feat_pallas
 
@@ -444,6 +466,10 @@ def lvis_render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
         lambda p: F.indirect_light_apply(params["indirect"], cfg.indirect, p),
         chunk=cfg.secondary_chunk,
         sdf_fwd_coarse=_sdf_fwd_sampling(params, cfg, bf16_act=True))
+    # NOTE: passing sdf_fwd_grad=_sdf_fwd_grad_fused(params, cfg) measured
+    # SLOWER (15.6k vs 16.8k rays/s): the fused kernel also computes the
+    # 256-wide feature head, ~1.5x the FLOPs the 65k-point weight sweep
+    # needs. Ledger: BENCHMARKS.md "measured but rejected".
 
     m1 = sdf_mask[:, None]
     m2 = sdf_mask[:, None, None]
