@@ -10,10 +10,13 @@ remaining pieces that are useful to a user preprocessing their own scenes:
   dense     — COLMAP MVS .bin depth/normal map I/O ("w&h&c&" header,
               column-major f32)
   export    — sparse model -> PLY point cloud; PLY merging
+  fused     — MVS fused.ply + fused.ply.vis point-visibility I/O
+  visualize — headless model viewer equivalent: cameras-as-frustums +
+              filtered points exported to one PLY
 
 Out of scope (not rebuilt, by design): COLMAP's own build scripts
 (ref:colmap/build.py drives CMake for the C++ COLMAP binary), the Windows
 app packager, the Flickr crawler, and format converters for third-party
 SfM tools (bundler/visualsfm/nvm) — none touch this framework's pipeline.
 """
-from . import database, dense, export  # noqa: F401
+from . import database, dense, export, fused, visualize  # noqa: F401

@@ -1,0 +1,89 @@
+"""COLMAP MVS fused point cloud I/O: fused.ply + fused.ply.vis.
+
+Format (colmap src/mvs/fusion.cc `WritePointsVisibility`; the upstream
+script the reference vendors is ref:colmap/read_write_fused_vis.py):
+
+* fused.ply — binary-LE PLY, per vertex: float32 x y z nx ny nz,
+  uint8 red green blue.
+* fused.ply.vis — little-endian binary: uint64 point count, then per point
+  a uint32 visible-image count followed by that many uint32 image indices.
+
+Implemented on this framework's own PLY reader (meshing/ply.py) — no
+pandas/pyntcloud dependency.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from ..meshing import ply as PLY
+
+
+@dataclass
+class MeshPoint:
+    position: np.ndarray            # [3] float
+    normal: np.ndarray              # [3] float
+    color: np.ndarray               # [3] uint8
+    visible_image_idxs: np.ndarray  # [k] uint32
+
+    @property
+    def num_visible_images(self) -> int:
+        return int(len(self.visible_image_idxs))
+
+
+def write_fused_ply(points: List[MeshPoint], path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = len(points)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}",
+              "property float x", "property float y", "property float z",
+              "property float nx", "property float ny", "property float nz",
+              "property uchar red", "property uchar green",
+              "property uchar blue", "end_header"]
+    rec = np.zeros(n, dtype=[("xyz", "<f4", 3), ("n", "<f4", 3),
+                             ("rgb", "u1", 3)])
+    if n:
+        rec["xyz"] = np.stack([p.position for p in points])
+        rec["n"] = np.stack([p.normal for p in points])
+        rec["rgb"] = np.stack([p.color for p in points])
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        f.write(rec.tobytes())
+
+
+def write_fused_ply_vis(points: List[MeshPoint], path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(np.uint64(len(points)).tobytes())
+        for p in points:
+            idxs = np.asarray(p.visible_image_idxs, "<u4")
+            f.write(np.uint32(len(idxs)).tobytes())
+            f.write(idxs.tobytes())
+
+
+def write_fused(points: List[MeshPoint], ply_path: str,
+                vis_path: str) -> None:
+    write_fused_ply(points, ply_path)
+    write_fused_ply_vis(points, vis_path)
+
+
+def read_fused(ply_path: str, vis_path: str) -> List[MeshPoint]:
+    v = PLY.read_ply(ply_path)["vertex"]
+    xyz = np.stack([np.asarray(v[c], np.float32) for c in "xyz"], 1)
+    nrm = np.stack([np.asarray(v["n" + c], np.float32) for c in "xyz"], 1)
+    rgb = np.stack([np.asarray(v[c], np.uint8)
+                    for c in ("red", "green", "blue")], 1)
+    out: List[MeshPoint] = []
+    with open(vis_path, "rb") as f:
+        n = int(np.frombuffer(f.read(8), "<u8")[0])
+        if n != len(xyz):
+            raise ValueError(
+                f".vis point count {n} != PLY vertex count {len(xyz)}")
+        for i in range(n):
+            k = int(np.frombuffer(f.read(4), "<u4")[0])
+            idxs = np.frombuffer(f.read(4 * k), "<u4").copy()
+            out.append(MeshPoint(xyz[i], nrm[i], rgb[i], idxs))
+    return out

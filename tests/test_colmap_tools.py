@@ -91,3 +91,86 @@ def test_model_to_ply_and_merge(tmp_path):
     total = EX.merge_ply_files([out, out2], merged)
     assert total == n + n2
     assert PLY.read_ply_points(merged).shape == (total, 3)
+
+
+def test_fused_vis_roundtrip(tmp_path):
+    from factored_neus_tpu.colmap_tools import fused as FU
+    rng = np.random.RandomState(3)
+    pts = []
+    for i in range(20):
+        n = rng.randn(3)
+        pts.append(FU.MeshPoint(
+            position=rng.randn(3).astype(np.float32),
+            normal=(n / np.linalg.norm(n)).astype(np.float32),
+            color=rng.randint(0, 255, 3).astype(np.uint8),
+            visible_image_idxs=rng.randint(0, 64, i % 5).astype(np.uint32)))
+    ply_p = str(tmp_path / "fused.ply")
+    vis_p = ply_p + ".vis"
+    FU.write_fused(pts, ply_p, vis_p)
+    back = FU.read_fused(ply_p, vis_p)
+    assert len(back) == 20
+    for a, b in zip(pts, back):
+        np.testing.assert_allclose(a.position, b.position, rtol=1e-6)
+        np.testing.assert_allclose(a.normal, b.normal, rtol=1e-6)
+        np.testing.assert_array_equal(a.color, b.color)
+        np.testing.assert_array_equal(a.visible_image_idxs,
+                                      b.visible_image_idxs)
+        assert b.num_visible_images == len(a.visible_image_idxs)
+
+    # binary layout invariants of the .vis sidecar (colmap fusion.cc)
+    raw = open(vis_p, "rb").read()
+    assert int(np.frombuffer(raw[:8], "<u8")[0]) == 20
+    assert len(raw) == 8 + sum(4 + 4 * p.num_visible_images for p in pts)
+
+
+def _tiny_model(tmp_path, n_views=3, n_pts=40):
+    rng = np.random.RandomState(4)
+    cameras = {1: CM.Camera(id=1, model="PINHOLE", width=64, height=48,
+                            params=np.array([70.0, 70.0, 32.0, 24.0]))}
+    images = {}
+    for i in range(1, n_views + 1):
+        images[i] = CM.Image(
+            id=i, qvec=np.array([1.0, 0, 0, 0]),
+            tvec=rng.randn(3) * 0.1 + np.array([0, 0, 3.0]),
+            camera_id=1, name=f"v{i}.png",
+            xys=np.zeros((0, 2)), point3D_ids=np.zeros(0, np.int64))
+    pts = {}
+    for i in range(n_pts):
+        pts[i] = CM.Point3D(
+            id=i, xyz=rng.randn(3) * 0.5, rgb=rng.randint(0, 255, 3),
+            error=float(i % 7) * 0.3, image_ids=np.arange(i % 5 + 1),
+            point2D_idxs=np.arange(i % 5 + 1))
+    d = str(tmp_path / "model")
+    os.makedirs(d, exist_ok=True)
+    CM.write_model(cameras, images, pts, d, ext=".bin")
+    return d, cameras, images, pts
+
+
+def test_visualize_frustums_and_export(tmp_path):
+    from factored_neus_tpu.colmap_tools import visualize as VZ
+    d, cameras, images, pts = _tiny_model(tmp_path)
+
+    K = VZ.camera_K(cameras[1])
+    np.testing.assert_allclose(np.diag(K), [70, 70, 1])
+
+    # identity rotation, apex at t; corners at depth `scale` in front
+    fv = VZ.frustum_vertices(K, np.eye(3), np.array([1.0, 2.0, 3.0]),
+                             64, 48, scale=2.0)
+    assert fv.shape == (5, 3)
+    np.testing.assert_allclose(fv[0], [1, 2, 3])
+    np.testing.assert_allclose(fv[1:, 2], 5.0)  # all corners at z = 3+2
+    # corner (0,0) unprojects to (-cx/fx, -cy/fy)*scale relative to apex
+    np.testing.assert_allclose(fv[1, :2],
+                               [1 - 32 / 70 * 2, 2 - 24 / 70 * 2], rtol=1e-6)
+
+    verts, edges = VZ.model_frustums(cameras, images)
+    assert verts.shape == (5 * 3, 3) and edges.shape == (8 * 3, 2)
+    assert edges.max() == len(verts) - 1
+
+    out = str(tmp_path / "viz.ply")
+    info = VZ.export_model_ply(d, out, min_track_len=3,
+                               max_reproj_error=1.0)
+    assert info["n_views"] == 3 and 0 < info["n_points"] < 40
+    data = PLY.read_ply(out)
+    assert len(data["vertex"]["x"]) == info["n_points"] + 15
+    assert len(data["edge"]["vertex1"]) == 24
