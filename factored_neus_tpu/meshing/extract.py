@@ -22,12 +22,19 @@ from ..native import marching_cubes as _mc_native
 
 
 def extract_fields(bound_min, bound_max, resolution: int, query_fn,
-                   slab: int = 32) -> np.ndarray:
+                   slab: int = 32, mesh=None) -> np.ndarray:
     """Dense [R,R,R] field grid (numpy, f32).
 
     query_fn: pts [N,3] -> values [N] (jittable).
     Evaluates `slab` x-planes per device call (R^2*slab points each), keeping
     peak activation memory bounded while saturating the chip.
+
+    mesh: optional jax.sharding.Mesh — shards each slab's x-planes across
+    the devices with shard_map (the grid fill is embarrassingly parallel:
+    a 512^3 fill is 134M independent SDF evaluations, so an 8-chip mesh
+    fills 64 planes per dispatch at the single-chip per-plane cost).
+    query_fn's captured parameters are closure constants, replicated onto
+    every device by shard_map.
     """
     bound_min = np.asarray(bound_min, np.float32)
     bound_max = np.asarray(bound_max, np.float32)
@@ -35,11 +42,21 @@ def extract_fields(bound_min, bound_max, resolution: int, query_fn,
     ys = jnp.linspace(bound_min[1], bound_max[1], resolution)
     zs = jnp.linspace(bound_min[2], bound_max[2], resolution)
 
-    @jax.jit
-    def eval_slab(x_vals):
+    def eval_slab_local(x_vals):
         xx, yy, zz = jnp.meshgrid(x_vals, ys, zs, indexing="ij")
         pts = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
         return query_fn(pts).reshape(x_vals.shape[0], resolution, resolution)
+
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if slab % n_dev:  # static per-device plane count
+            slab = max(n_dev, slab - slab % n_dev)
+        spec = jax.sharding.PartitionSpec(*mesh.axis_names)
+        eval_slab = jax.jit(jax.shard_map(
+            eval_slab_local, mesh=mesh, in_specs=spec, out_specs=spec,
+            check_vma=False))
+    else:
+        eval_slab = jax.jit(eval_slab_local)
 
     out = np.empty((resolution,) * 3, np.float32)
     for start in range(0, resolution, slab):
@@ -54,14 +71,15 @@ def extract_fields(bound_min, bound_max, resolution: int, query_fn,
 
 
 def extract_geometry(bound_min, bound_max, resolution: int, threshold: float,
-                     query_fn, slab: int = 32
+                     query_fn, slab: int = 32, mesh=None
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """(vertices [V,3] world coords, triangles [T,3]).
 
     query_fn follows the reference's convention of returning -sdf
     (ref:renderer.py:729-734), so the surface is at threshold with outward
     orientation."""
-    u = extract_fields(bound_min, bound_max, resolution, query_fn, slab=slab)
+    u = extract_fields(bound_min, bound_max, resolution, query_fn, slab=slab,
+                       mesh=mesh)
     verts, tris = _mc_native(u, float(threshold))
     b_min = np.asarray(bound_min, np.float32)
     b_max = np.asarray(bound_max, np.float32)

@@ -161,8 +161,10 @@ class Pipeline:
                                       jnp.asarray(pts, jnp.float32)))
 
     def extract_mesh(self, resolution: int = 512, threshold: float = 0.0,
-                     world_space: bool = False
+                     world_space: bool = False, mesh=None
                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """mesh: optional jax.sharding.Mesh — shards the grid fill across
+        the devices (see meshing.extract.extract_fields)."""
         from .ops.pallas_sdf import on_tpu, sdf_forward_pallas
         if on_tpu():
             query = lambda p: -sdf_forward_pallas(self.params["sdf"],
@@ -174,7 +176,7 @@ class Pipeline:
         bb_max = self.dataset.object_bbox_max if self.dataset is not None \
             else [1.01] * 3
         verts, tris = MEXT.extract_geometry(bb_min, bb_max, resolution,
-                                            threshold, query)
+                                            threshold, query, mesh=mesh)
         if world_space and hasattr(self.dataset, "scale_mats_np"):
             s = self.dataset.scale_mats_np[0]
             verts = verts * s[0, 0] + s[:3, 3][None]

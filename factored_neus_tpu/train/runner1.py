@@ -68,7 +68,8 @@ class Runner:
             mask_ones=self.dataset.mask_ones,
             roi_prob=float(getattr(self.dataset, "sample_roi_prob", 0.0)))
         self.opt_state = self._opt_init(self.params)
-        self._render_fn = stage1.make_render_fn(self.cfg, self.tcfg)
+        self._render_fn = stage1.make_render_fn(self.cfg, self.tcfg,
+                                                 mesh=self.mesh)
 
         if is_continue:
             latest = CK.latest_checkpoint(self.base_exp_dir,
@@ -306,7 +307,7 @@ class Runner:
         verts, tris = MEXT.extract_geometry(
             self.dataset.object_bbox_min, self.dataset.object_bbox_max,
             resolution=resolution, threshold=threshold,
-            query_fn=self._neg_sdf)
+            query_fn=self._neg_sdf, mesh=self.mesh)
         if world_space:
             s = self.dataset.scale_mats_np[0]
             verts = verts * s[0, 0] + s[:3, 3][None]
@@ -325,14 +326,15 @@ class Runner:
         verts, tris = MEXT.extract_geometry(
             self.dataset.object_bbox_min, self.dataset.object_bbox_max,
             resolution=resolution, threshold=threshold,
-            query_fn=self._neg_sdf)
+            query_fn=self._neg_sdf, mesh=self.mesh)
         inter = os.path.join(self.base_exp_dir, "meshes", "inter_mesh.ply")
         write_ply(inter, verts, tris)
 
         if self.iter_step % 10000 == 0 and self.iter_step != 0:
             verts, tris = MEXT.extract_geometry(
                 self.dataset.object_bbox_min, self.dataset.object_bbox_max,
-                resolution=512, threshold=threshold, query_fn=self._neg_sdf)
+                resolution=512, threshold=threshold,
+                query_fn=self._neg_sdf, mesh=self.mesh)
             mesh_path = os.path.join(self.base_exp_dir, "meshes",
                                      f"{self.iter_step:08d}.ply")
             write_ply(mesh_path, verts, tris)

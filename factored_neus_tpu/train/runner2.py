@@ -67,7 +67,7 @@ class Runner:
             mask_ones=self.dataset.mask_ones,
             roi_prob=float(getattr(self.dataset, "sample_roi_prob", 0.0)))
         self.opt_state = self._opt_init(self.params)
-        self._render_fn = stage2.make_render_fn(self.cfg)
+        self._render_fn = stage2.make_render_fn(self.cfg, mesh=self.mesh)
 
         if is_continue:
             latest = CK.latest_checkpoint(self.base_exp_dir, self.tcfg.end_iter)

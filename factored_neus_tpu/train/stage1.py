@@ -101,10 +101,14 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
     return tx.init, jitted
 
 
-def make_render_fn(cfg: R.RendererConfig, tcfg: TrainConfig):
-    """Jitted full renderer for validation images (chunked by the caller)."""
+def make_render_fn(cfg: R.RendererConfig, tcfg: TrainConfig,
+                   mesh: Optional[Mesh] = None):
+    """Jitted full renderer for validation images (chunked by the caller).
 
-    @jax.jit
+    mesh: optional device mesh — shards each chunk over the ray axis
+    (rays are embarrassingly parallel; scalar diagnostics are dropped from
+    the sharded output, validation only consumes per-ray maps)."""
+
     def render_chunk(params, rays_o, rays_d, near, far, step):
         anneal = schedule.cos_anneal_ratio(step, tcfg.anneal_end)
         background_rgb = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
@@ -112,4 +116,17 @@ def make_render_fn(cfg: R.RendererConfig, tcfg: TrainConfig):
                         background_rgb=background_rgb,
                         cos_anneal_ratio=anneal, perturb_overwrite=0.0)
 
-    return render_chunk
+    if mesh is None:
+        return jax.jit(render_chunk)
+
+    scalar_keys = ("gradient_error", "_eik_num", "_eik_den")
+
+    def per_ray_chunk(params, rays_o, rays_d, near, far, step):
+        out = render_chunk(params, rays_o, rays_d, near, far, step)
+        return {k: v for k, v in out.items() if k not in scalar_keys}
+
+    sharded = jax.shard_map(
+        per_ray_chunk, mesh=mesh,
+        in_specs=(P(), P(SH.AXIS), P(SH.AXIS), P(SH.AXIS), P(SH.AXIS), P()),
+        out_specs=P(SH.AXIS), check_vma=False)
+    return jax.jit(sharded)

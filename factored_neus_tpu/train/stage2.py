@@ -62,8 +62,19 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
     return tx.init, jax.jit(sharded, donate_argnums=(0, 1))
 
 
-def make_render_fn(cfg: R.RendererConfig):
-    @jax.jit
+def make_render_fn(cfg: R.RendererConfig, mesh: Optional[Mesh] = None):
     def render_chunk(params, rays_o, rays_d, near, far, key):
         return R.lvis_render(params, cfg, rays_o, rays_d, near, far, key)
-    return render_chunk
+
+    if mesh is None:
+        return jax.jit(render_chunk)
+    # all lvis_render outputs are per-ray: shard the chunk over rays, with
+    # per-device hemisphere-sample RNG
+    def local(params, rays_o, rays_d, near, far, key):
+        return render_chunk(params, rays_o, rays_d, near, far,
+                            SH.device_key(key, mesh))
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(SH.AXIS), P(SH.AXIS), P(SH.AXIS), P(SH.AXIS), P()),
+        out_specs=P(SH.AXIS), check_vma=False)
+    return jax.jit(sharded)

@@ -64,8 +64,23 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
     return tx.init, jax.jit(sharded, donate_argnums=(0, 1))
 
 
-def make_render_fn(cfg: R.RendererConfig):
-    @jax.jit
+def make_render_fn(cfg: R.RendererConfig, mesh: Optional[Mesh] = None):
     def render_chunk(params, rays_o, rays_d, near, far, key):
         return R.mate_illu_render(params, cfg, rays_o, rays_d, near, far, key)
-    return render_chunk
+
+    if mesh is None:
+        return jax.jit(render_chunk)
+    # per-ray maps shard over rays; the four scalar diagnostic losses are
+    # dropped (validation panels never read them)
+    scalar_keys = ("diffuse_loss", "specular_loss", "encoder_loss",
+                   "smooth_loss")
+
+    def local(params, rays_o, rays_d, near, far, key):
+        out = render_chunk(params, rays_o, rays_d, near, far,
+                           SH.device_key(key, mesh))
+        return {k: v for k, v in out.items() if k not in scalar_keys}
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(SH.AXIS), P(SH.AXIS), P(SH.AXIS), P(SH.AXIS), P()),
+        out_specs=P(SH.AXIS), check_vma=False)
+    return jax.jit(sharded)

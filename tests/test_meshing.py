@@ -110,3 +110,41 @@ def test_extract_geometry_device_sphere():
     radii = np.linalg.norm(verts, axis=-1)
     assert abs(radii.mean() - 0.5) < 0.06
     assert len(tris) > 100
+
+
+def test_extract_fields_sharded_matches_single():
+    """The grid fill sharded over an 8-device mesh is bit-identical to the
+    single-device fill (embarrassingly parallel over x-planes)."""
+    import jax
+    import jax.numpy as jnp
+    from factored_neus_tpu.meshing.extract import extract_fields
+    from factored_neus_tpu.parallel import sharding as SH
+
+    def query(pts):
+        return -(jnp.linalg.norm(pts, axis=-1) - 0.5) \
+            + 0.05 * jnp.sin(4.0 * pts[..., 0])
+
+    mesh = SH.make_mesh(jax.devices()[:8])
+    ref = extract_fields([-1.0] * 3, [1.0] * 3, 40, query, slab=16)
+    # slab=16 divides 8; also exercise the non-divisible adjust (slab=12->8)
+    for slab in (16, 12):
+        got = extract_fields([-1.0] * 3, [1.0] * 3, 40, query, slab=slab,
+                             mesh=mesh)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_extract_geometry_sharded_through_runner_args():
+    """extract_geometry(mesh=...) end-to-end on the virtual device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from factored_neus_tpu.parallel import sharding as SH
+
+    def query(pts):
+        return -(jnp.linalg.norm(pts, axis=-1) - 0.5)
+
+    mesh = SH.make_mesh(jax.devices()[:8])
+    verts, tris = extract_geometry([-1.0] * 3, [1.0] * 3, resolution=40,
+                                   threshold=0.0, query_fn=query, slab=16,
+                                   mesh=mesh)
+    radii = np.linalg.norm(verts, axis=-1)
+    assert abs(radii.mean() - 0.5) < 0.06 and len(tris) > 100

@@ -184,3 +184,40 @@ def test_sharded_params_stay_replicated(scene):
     assert len(shards) >= 2
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_render_fns_sharded_match_single(scene):
+    """Validation render fns sharded over an 8-device mesh reproduce the
+    single-device per-ray outputs (stage 1 exactly; stages 2/3 use
+    per-device RNG, so only shapes/finiteness are checked there)."""
+    cfg = tiny_config()
+    params = tiny_params(cfg)
+    tcfg = TrainConfig(batch_size=64, end_iter=100, warm_up_end=0,
+                       anneal_end=0.0)
+    mesh = SH.make_mesh()
+    B = 16
+    ang = jnp.linspace(-0.3, 0.3, B)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (B, 1))
+    rays_d = jnp.stack([jnp.sin(ang), jnp.zeros(B), jnp.cos(ang)], -1)
+    mid = -jnp.sum(rays_o * rays_d, -1, keepdims=True) \
+        / jnp.sum(rays_d ** 2, -1, keepdims=True)
+    near, far = mid - 1.0, mid + 1.0
+
+    single = stage1.make_render_fn(cfg, tcfg)
+    sharded = stage1.make_render_fn(cfg, tcfg, mesh=mesh)
+    o1 = single(params, rays_o, rays_d, near, far, jnp.asarray(5))
+    o8 = sharded(params, rays_o, rays_d, near, far, jnp.asarray(5))
+    assert "gradient_error" in o1 and "gradient_error" not in o8
+    for k in o8:
+        np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o8[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+
+    key = jax.random.PRNGKey(7)
+    for mod, dropped in ((stage2, ()), (stage3, ("diffuse_loss",))):
+        fn = mod.make_render_fn(cfg, mesh=mesh)
+        out = fn(params, rays_o, rays_d, near, far, key)
+        for k, v in out.items():
+            assert v.shape[0] == B, (k, v.shape)
+            assert np.isfinite(np.asarray(v)).all(), k
+        for k in dropped:
+            assert k not in out
