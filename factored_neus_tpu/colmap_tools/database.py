@@ -196,5 +196,9 @@ class ColmapDatabase:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:   # roll back partial writes on error
+            self.conn.rollback()
+            self.conn.close()
+        else:
+            self.close()

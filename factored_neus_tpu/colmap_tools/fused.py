@@ -76,14 +76,24 @@ def read_fused(ply_path: str, vis_path: str) -> List[MeshPoint]:
     nrm = np.stack([np.asarray(v["n" + c], np.float32) for c in "xyz"], 1)
     rgb = np.stack([np.asarray(v[c], np.uint8)
                     for c in ("red", "green", "blue")], 1)
-    out: List[MeshPoint] = []
     with open(vis_path, "rb") as f:
-        n = int(np.frombuffer(f.read(8), "<u8")[0])
-        if n != len(xyz):
-            raise ValueError(
-                f".vis point count {n} != PLY vertex count {len(xyz)}")
-        for i in range(n):
-            k = int(np.frombuffer(f.read(4), "<u4")[0])
-            idxs = np.frombuffer(f.read(4 * k), "<u4").copy()
-            out.append(MeshPoint(xyz[i], nrm[i], rgb[i], idxs))
-    return out
+        raw = f.read()
+    n = int(np.frombuffer(raw[:8], "<u8")[0])
+    if n != len(xyz):
+        raise ValueError(
+            f".vis point count {n} != PLY vertex count {len(xyz)}")
+    # vectorized decode of the [count, idx...]* stream: real MVS clouds have
+    # millions of points, a per-point read loop takes minutes
+    words = np.frombuffer(raw[8:], "<u4")
+    counts = np.empty(n, np.int64)
+    starts = np.empty(n, np.int64)
+    pos = 0
+    for i in range(n):          # offsets only — O(n) scalar ops, no I/O
+        counts[i] = words[pos]
+        starts[i] = pos + 1
+        pos += 1 + counts[i]
+    if pos != len(words):
+        raise ValueError(f"trailing/truncated .vis data in {vis_path}")
+    return [MeshPoint(xyz[i], nrm[i], rgb[i],
+                      words[starts[i]:starts[i] + counts[i]].copy())
+            for i in range(n)]

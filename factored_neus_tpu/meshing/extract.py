@@ -48,10 +48,13 @@ def extract_fields(bound_min, bound_max, resolution: int, query_fn,
         return query_fn(pts).reshape(x_vals.shape[0], resolution, resolution)
 
     if mesh is not None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError("extract_fields shards x-planes over a 1-D "
+                             f"mesh; got axes {mesh.axis_names}")
         n_dev = int(np.prod(list(mesh.shape.values())))
         if slab % n_dev:  # static per-device plane count
             slab = max(n_dev, slab - slab % n_dev)
-        spec = jax.sharding.PartitionSpec(*mesh.axis_names)
+        spec = jax.sharding.PartitionSpec(mesh.axis_names[0])
         eval_slab = jax.jit(jax.shard_map(
             eval_slab_local, mesh=mesh, in_specs=spec, out_specs=spec,
             check_vma=False))

@@ -128,23 +128,6 @@ def _use_pallas_geometry(cfg) -> bool:
     return bool(use_pg)
 
 
-def _sdf_fwd_grad_fused(params, cfg):
-    """pts -> (sdf, grad) in ONE fused stop-gradient pass (the Pallas
-    geometry forward) for the detached secondary-ray weight sweeps — the
-    XLA fallback pays a forward plus a vjp sweep. None when unavailable."""
-    if not _use_pallas_geometry(cfg):
-        return None
-    from ..ops.pallas_geometry import sdf_value_grad_feat_pallas
-
-    def f(p):
-        s, _, g = sdf_value_grad_feat_pallas(
-            params["sdf"], cfg.sdf, jax.lax.stop_gradient(p),
-            bf16=cfg.core_act_bf16)
-        return jax.lax.stop_gradient(s), jax.lax.stop_gradient(g)
-
-    return f
-
-
 def _sdf_grad(params, cfg):
     return lambda p: F.sdf_gradient(params["sdf"], cfg.sdf, p)
 
@@ -466,10 +449,9 @@ def lvis_render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
         lambda p: F.indirect_light_apply(params["indirect"], cfg.indirect, p),
         chunk=cfg.secondary_chunk,
         sdf_fwd_coarse=_sdf_fwd_sampling(params, cfg, bf16_act=True))
-    # NOTE: passing sdf_fwd_grad=_sdf_fwd_grad_fused(params, cfg) measured
-    # SLOWER (15.6k vs 16.8k rays/s): the fused kernel also computes the
-    # 256-wide feature head, ~1.5x the FLOPs the 65k-point weight sweep
-    # needs. Ledger: BENCHMARKS.md "measured but rejected".
+    # NOTE: a fused (sdf+grad) Pallas forward for the weight sweep measured
+    # SLOWER (15.6k vs 16.8k rays/s) and was removed; ledger:
+    # BENCHMARKS.md "measured but rejected".
 
     m1 = sdf_mask[:, None]
     m2 = sdf_mask[:, None, None]

@@ -80,7 +80,7 @@ def surface_localize(mid_z: jnp.ndarray, sdf: jnp.ndarray,
 
 
 def compute_weight(sdf_fwd, sdf_grad, inv_s, rays_o, rays_d, z_vals,
-                   chunk: int = 65536, sdf_fwd_grad=None):
+                   chunk: int = 65536):
     """NeuS weights along secondary rays, fully detached.
 
     sdf_fwd: pts[N,3] -> sdf[N]; sdf_grad: pts[N,3] -> grad[N,3].
@@ -88,23 +88,15 @@ def compute_weight(sdf_fwd, sdf_grad, inv_s, rays_o, rays_d, z_vals,
     The reference computes (and detaches) the SDF gradient here; the cosine it
     feeds is needed for the alpha estimate, so we keep it — but under
     stop_gradient the double-backprop the reference pays is gone for free.
-
-    sdf_fwd_grad (optional): pts[N,3] -> (sdf[N], grad[N,3]) in ONE pass
-    (the fused Pallas geometry forward) — replaces the two separate sweeps.
     """
     B, T = z_vals.shape
     dists, mid_z, pts, dirs = _section_geometry(rays_o, rays_d, z_vals,
                                                 SECONDARY_SAMPLE_DIST)
     pts_flat = pts.reshape(-1, 3)
-    if sdf_fwd_grad is not None:
-        s_flat, g_flat = sdf_fwd_grad(pts_flat)
-        sdf = jax.lax.stop_gradient(s_flat).reshape(B, T)
-        grads = jax.lax.stop_gradient(g_flat).reshape(B, T, 3)
-    else:
-        sdf = jax.lax.stop_gradient(
-            chunked_apply(sdf_fwd, pts_flat, chunk)).reshape(B, T)
-        grads = jax.lax.stop_gradient(
-            chunked_apply(sdf_grad, pts_flat, chunk)).reshape(B, T, 3)
+    sdf = jax.lax.stop_gradient(
+        chunked_apply(sdf_fwd, pts_flat, chunk)).reshape(B, T)
+    grads = jax.lax.stop_gradient(
+        chunked_apply(sdf_grad, pts_flat, chunk)).reshape(B, T, 3)
 
     true_cos = jnp.sum(dirs * grads, -1)
     iter_cos = -jax.nn.relu(-true_cos * 0.5 + 0.5)    # cos_anneal_ratio = 0
@@ -147,8 +139,7 @@ def cal_fir_hit_rgb(sdf_apply_full, sdf_grad, color_fn, rays_o, rays_d,
 def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
                  inv_s, color_fn, lvis_fn, indirect_fn,
                  chunk: int = 131072,
-                 sdf_fwd_coarse=None,
-                 sdf_fwd_grad=None) -> Dict[str, jnp.ndarray]:
+                 sdf_fwd_coarse=None) -> Dict[str, jnp.ndarray]:
     """Distillation targets from M=4 cosine-hemisphere secondary rays per
     surface point. Returns gt/pre lvis [P,4] and trace radiance [P,4,3].
     ref:calLvis.py:339-409.
@@ -187,8 +178,7 @@ def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
     trace_radiance, _ = cal_fir_hit_rgb(sdf_apply_full, sdf_grad, color_fn,
                                         surf_flat, dirs_flat, z_fine, chunk)
     _, weights_inside = compute_weight(sdf_fwd, sdf_grad, inv_s, surf_flat,
-                                       dirs_flat, z_fine, chunk,
-                                       sdf_fwd_grad=sdf_fwd_grad)
+                                       dirs_flat, z_fine, chunk)
     occu = jnp.sum(weights_inside, axis=-1)
     gt_lvis = jax.lax.stop_gradient(
         (1.0 - occu).reshape(P, N_HEMI_DIRS))
@@ -209,8 +199,8 @@ def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
 
 def compute_light_visibility(key, surf, normal, sdf_fwd, sdf_apply_full,
                              sdf_grad, inv_s, color_fn, lvis_fn, indirect_fn,
-                             n_lights: int = 64, chunk: int = 131072,
-                             sdf_fwd_grad=None) -> Dict[str, jnp.ndarray]:
+                             n_lights: int = 64, chunk: int = 131072
+                             ) -> Dict[str, jnp.ndarray]:
     """Alternative stage-2 target: fixed fibonacci-sphere light directions.
     ref:calLvis.py:207-299 (the commented-out path at ref:renderer.py:608).
 
@@ -242,8 +232,7 @@ def compute_light_visibility(key, surf, normal, sdf_fwd, sdf_apply_full,
     surf_rgb, _ = cal_fir_hit_rgb(sdf_apply_full, sdf_grad, color_fn,
                                   surf_flat, dirs_flat, z_fine, chunk)
     _, weights_inside = compute_weight(sdf_fwd, sdf_grad, inv_s, surf_flat,
-                                       dirs_flat, z_fine, chunk,
-                                       sdf_fwd_grad=sdf_fwd_grad)
+                                       dirs_flat, z_fine, chunk)
     occu = jnp.sum(weights_inside, axis=-1).reshape(P, n_lights)
 
     fl = front_lit.astype(surf.dtype)

@@ -202,9 +202,7 @@ def import_to_exp_dir(pth_path: str, base_exp_dir: str) -> str:
     ``{base_exp_dir}/checkpoints/`` so ``--is_continue`` picks it up."""
     from . import checkpoints as CK
     groups = load_torch_checkpoint(pth_path)
-    iter_step = groups.pop("iter_step")
-    groups["iter_step"] = iter_step
-    return CK.save_checkpoint(base_exp_dir, iter_step, groups)
+    return CK.save_checkpoint(base_exp_dir, groups["iter_step"], groups)
 
 
 def main(argv=None):

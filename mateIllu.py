@@ -31,7 +31,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, default="./confs/base.conf")
     parser.add_argument("--mode", type=str, default="train")
-    parser.add_argument("--mcube_threshold", type=float, default=0.0)
+    parser.add_argument("--mcube_threshold", type=float,
+                    default=0.0)  # compat, unused (no mesh mode here,
+                                  # matching ref:mateIllu.py:1106)
     parser.add_argument("--is_continue", default=False, action="store_true")
     parser.add_argument("--gpu", type=int, default=0)   # compat, unused
     parser.add_argument("--case", type=str, default="")

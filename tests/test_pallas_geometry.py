@@ -154,3 +154,38 @@ def test_radiance_bwd_matches_xla():
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
                                    rtol=1e-4)
+
+
+def test_bf16_backward_gradients_close():
+    """The default TPU configuration runs the bf16 custom-VJP backward —
+    its parameter and input gradients must track the f32 XLA reference in
+    direction and magnitude (bf16 matmul tolerance)."""
+    cfg, params, x = _setup()
+
+    def loss_pallas(params, x):
+        s, f, g = PG.sdf_value_grad_feat_pallas(params, cfg, x, bf16=True,
+                                                block_rows=64)
+        return _loss_terms(s, f, g, x)
+
+    def loss_ref(params, x):
+        s, f, g = F.sdf_value_and_grad_feat(params, cfg, x)
+        return _loss_terms(s, f, g, x)
+
+    gp, gx = jax.grad(loss_pallas, argnums=(0, 1))(params, x)
+    rp, rx = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+
+    def check(a, b, name):
+        a = np.asarray(a).ravel()
+        b = np.asarray(b).ravel()
+        denom = np.linalg.norm(b)
+        assert denom > 0.0, name
+        rel = np.linalg.norm(a - b) / denom
+        assert rel < 0.05, f"{name}: relative grad error {rel:.4f}"
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * denom + 1e-12))
+        assert cos > 0.999, f"{name}: cosine {cos:.5f}"
+
+    check(gx, rx, "d/dx")
+    flat_p, _ = jax.tree_util.tree_flatten(gp)
+    flat_r, _ = jax.tree_util.tree_flatten(rp)
+    for i, (a, b) in enumerate(zip(flat_p, flat_r)):
+        check(a, b, f"param[{i}]")
