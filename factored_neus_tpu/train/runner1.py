@@ -381,7 +381,7 @@ class Runner:
     def interpolate_view(self, img_idx_0: int, img_idx_1: int,
                          n_frames: int = 60):
         """Novel-view video (ref:exp_runner.py:611-634)."""
-        import cv2 as cv
+        from ..utils.video import write_video
         images = []
         for i in range(n_frames):
             ratio = np.sin(((i / n_frames) - 0.5) * np.pi) * 0.5 + 0.5
@@ -389,12 +389,9 @@ class Runner:
                                                   ratio, resolution_level=4))
         images += images[::-1]
         video_dir = os.path.join(self.base_exp_dir, "render")
-        os.makedirs(video_dir, exist_ok=True)
-        h, w = images[0].shape[:2]
-        writer = cv.VideoWriter(
+        # frames are in the dataset's native (cv/BGR) channel order, like
+        # the reference's cv.VideoWriter path
+        write_video(
             os.path.join(video_dir,
                          f"{self.iter_step:08d}_{img_idx_0}_{img_idx_1}.mp4"),
-            cv.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
-        for img in images:
-            writer.write(img)
-        writer.release()
+            images, fps=30, bgr=True)

@@ -354,19 +354,9 @@ class Runner:
     # -- videos (ref:mateIllu.py:704-789,832-945) -----------------------------
 
     def _write_video(self, path: str, frames, fps: int = 20):
-        import imageio.v2 as imageio
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from ..utils.video import write_video
         frames8 = [np.clip(f * 255, 0, 255).astype(np.uint8) for f in frames]
-        try:
-            imageio.mimwrite(path, frames8, fps=fps, quality=9)
-        except Exception:
-            import cv2 as cv
-            h, w = frames8[0].shape[:2]
-            wr = cv.VideoWriter(path, cv.VideoWriter_fourcc(*"mp4v"), fps,
-                                (w, h))
-            for f in frames8:
-                wr.write(f[..., ::-1])
-            wr.release()
+        write_video(path, frames8, fps=fps)
 
     def validate_video(self, resolution_level: int = 1):
         lists = {k: [] for k in ("rgb", "specular_rgb", "diffuse_rgb",
