@@ -174,3 +174,18 @@ def test_visualize_frustums_and_export(tmp_path):
     data = PLY.read_ply(out)
     assert len(data["vertex"]["x"]) == info["n_points"] + 15
     assert len(data["edge"]["vertex1"]) == 24
+
+
+def test_database_rolls_back_on_exception(tmp_path):
+    """A raising with-block must not persist partial writes (sqlite
+    rollback semantics, matching upstream COLMAP usage)."""
+    path = str(tmp_path / "rb.db")
+    with DB.ColmapDatabase(path) as db:
+        cam = db.add_camera("PINHOLE", 8, 8, [4.0, 4.0, 4.0, 4.0])
+    with pytest.raises(RuntimeError):
+        with DB.ColmapDatabase(path) as db:
+            db.add_image("orphan.png", cam)
+            raise RuntimeError("boom")
+    with DB.ColmapDatabase(path) as db:
+        assert db.images() == {}          # the partial image row rolled back
+        assert 1 in db.cameras()          # the committed camera survived
