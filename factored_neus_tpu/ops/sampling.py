@@ -44,10 +44,26 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, T - 1)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    if T <= 160:
+        # one-hot matmul gathers: a data-dependent [B,n]-from-[B,T] gather
+        # is ~0.3-0.7 ms on TPU at these shapes, the equivalent exact (0/1
+        # weights, HIGHEST precision) dot_general is microseconds on the
+        # MXU — the four gathers here and the ladder's sorts were 23% of
+        # the stage-1 step. Above ~160 samples (the stage-2 secondary
+        # ladder's T=513) the [B,n,T] one-hot's HBM traffic inverts the
+        # trade — measured 2x SLOWER there — so big-T keeps the gather.
+        oh_b = jax.nn.one_hot(below, T, dtype=bins.dtype)   # [B, n, T]
+        oh_a = jax.nn.one_hot(above, T, dtype=bins.dtype)
+        hi = jax.lax.Precision.HIGHEST
+        cdf_b = jnp.einsum("bnt,bt->bn", oh_b, cdf, precision=hi)
+        cdf_a = jnp.einsum("bnt,bt->bn", oh_a, cdf, precision=hi)
+        bins_b = jnp.einsum("bnt,bt->bn", oh_b, bins, precision=hi)
+        bins_a = jnp.einsum("bnt,bt->bn", oh_a, bins, precision=hi)
+    else:
+        cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+        cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+        bins_b = jnp.take_along_axis(bins, below, axis=-1)
+        bins_a = jnp.take_along_axis(bins, above, axis=-1)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, 1.0, denom)
@@ -111,14 +127,16 @@ def cat_z_vals(sdf_fn, rays_o, rays_d, z_vals, new_z_vals, sdf,
     B, T = z_vals.shape
     I = new_z_vals.shape[1]
     z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_cat, axis=-1)
-    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
     if last:
-        return z_sorted, sdf
+        return jnp.sort(z_cat, axis=-1), sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
     new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(B, I)
     sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-    sdf_sorted = jnp.take_along_axis(sdf_cat, order, axis=-1)
+    # multi-operand key/value sort instead of argsort + two take_along_axis
+    # gathers: the gathers dominated the ladder on TPU (profile: ~3.6 ms of
+    # a 18.3 ms step across the 4 rounds)
+    z_sorted, sdf_sorted = jax.lax.sort((z_cat, sdf_cat), dimension=-1,
+                                        is_stable=True, num_keys=1)
     return z_sorted, sdf_sorted
 
 
