@@ -37,22 +37,18 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     else:
         u = jax.random.uniform(key, (B, n_samples), dtype=bins.dtype)
 
-    # searchsorted(right) as a compare-and-sum: T is small (65-129) so the
-    # [B, n, T] comparison tensor is a single fused VPU reduction — far
-    # cheaper on TPU than per-row binary search (no data-dependent gathers)
-    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, T - 1)
-
+    # searchsorted + gather, TPU-style. Data-dependent [B,n]-from-[B,T]
+    # gathers cost 0.3-1.0 ms EACH at these shapes (they were 23% of the
+    # stage-1 step and 3.3 ms of stage 2's). Two exact gather-free forms,
+    # picked by T (both measured; each loses ~30% on the other's shape):
     if T <= 160:
-        # one-hot matmul gathers: a data-dependent [B,n]-from-[B,T] gather
-        # is ~0.3-0.7 ms on TPU at these shapes, the equivalent exact (0/1
-        # weights, HIGHEST precision) dot_general is microseconds on the
-        # MXU — the four gathers here and the ladder's sorts were 23% of
-        # the stage-1 step. Above ~160 samples (the stage-2 secondary
-        # ladder's T=513) the [B,n,T] one-hot's HBM traffic inverts the
-        # trade — measured 2x SLOWER there — so big-T keeps the gather.
-        oh_b = jax.nn.one_hot(below, T, dtype=bins.dtype)   # [B, n, T]
+        # one-hot matmuls: 0/1 weights at HIGHEST precision select exact
+        # array elements; [B,n,T] one-hots are small enough that the MXU
+        # dot wins (stage-1 ladder: 26.2k -> 34.6k rays/s)
+        inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1)
+        below = jnp.maximum(inds - 1, 0)
+        above = jnp.minimum(inds, T - 1)
+        oh_b = jax.nn.one_hot(below, T, dtype=bins.dtype)       # [B, n, T]
         oh_a = jax.nn.one_hot(above, T, dtype=bins.dtype)
         hi = jax.lax.Precision.HIGHEST
         cdf_b = jnp.einsum("bnt,bt->bn", oh_b, cdf, precision=hi)
@@ -60,10 +56,23 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         bins_b = jnp.einsum("bnt,bt->bn", oh_b, bins, precision=hi)
         bins_a = jnp.einsum("bnt,bt->bn", oh_a, bins, precision=hi)
     else:
-        cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-        cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-        bins_b = jnp.take_along_axis(bins, below, axis=-1)
-        bins_a = jnp.take_along_axis(bins, above, axis=-1)
+        # masked reductions: cdf and bins are SORTED, so `cdf[t] <= u` is
+        # a prefix mask and every gathered value is a fused masked max/min
+        # over the compare tensor (below = prefix max; above = suffix min,
+        # falling back to x[T-1] on all-true rows; #prefix >= 1 always
+        # since cdf[0] = 0 <= u). Wins at the stage-2 secondary ladder's
+        # T=513 (16.8k -> 22.4k rays/s) where the one-hot's HBM traffic
+        # inverts the trade.
+        mask = cdf[:, None, :] <= u[:, :, None]                 # [B, n, T]
+        ninf = jnp.float32(-jnp.inf)
+        pinf = jnp.float32(jnp.inf)
+        cdf_b = jnp.max(jnp.where(mask, cdf[:, None, :], ninf), axis=-1)
+        bins_b = jnp.max(jnp.where(mask, bins[:, None, :], ninf), axis=-1)
+        cdf_a = jnp.min(jnp.where(mask, pinf, cdf[:, None, :]), axis=-1)
+        bins_a = jnp.min(jnp.where(mask, pinf, bins[:, None, :]), axis=-1)
+        full = jnp.all(mask, axis=-1)
+        cdf_a = jnp.where(full, cdf[:, -1:], cdf_a)
+        bins_a = jnp.where(full, bins[:, -1:], bins_a)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, 1.0, denom)

@@ -205,3 +205,20 @@ def test_sample_dirs_on_hemisphere():
                                1.0, atol=1e-4)
     cos = np.asarray(jnp.sum(dirs * n[:, None, :], -1))
     assert (cos > -1e-4).all()   # hemisphere around the normal
+
+
+def test_sample_pdf_large_t_matches_numpy():
+    """The big-T masked-reduction path (T>160, the stage-2 secondary
+    ladder's shape) selects exactly the same elements as index gathers."""
+    rng = np.random.RandomState(3)
+    bins = np.sort(rng.rand(6, 513).astype(np.float32) * 2, -1)
+    weights = rng.rand(6, 512).astype(np.float32)
+    got = np.asarray(S.sample_pdf(jnp.asarray(bins), jnp.asarray(weights),
+                                  32))
+    want = _np_sample_pdf_det(bins, weights, 32)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # random-u variant exercises the same selection logic
+    key = jax.random.PRNGKey(9)
+    z = np.asarray(S.sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 32,
+                                key=key))
+    assert (z >= bins[:, :1] - 1e-6).all() and (z <= bins[:, -1:] + 1e-6).all()
