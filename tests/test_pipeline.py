@@ -78,3 +78,22 @@ dataset {
 """ % (tmp_path, tmp_path))
     with pytest.raises(FileNotFoundError):
         Pipeline.from_experiment(str(conf), stage=1)
+
+
+def test_relight_swaps_and_restores_envmap(pipe, tmp_path):
+    """Pipeline.relight renders under a loaded SG envmap (sg_128.npy,
+    ref:models/inverRender.py:614-625) and restores the trained light."""
+    rng = np.random.RandomState(5)
+    sgs = np.concatenate([rng.randn(16, 3), np.abs(rng.randn(16, 1)) * 20,
+                          np.abs(rng.randn(16, 3)) * 3], -1).astype(np.float32)
+    env = tmp_path / "envmap_test"
+    env.mkdir()
+    np.save(str(env / "sg_128.npy"), sgs)
+
+    before = np.asarray(pipe.params["material"]["lgtSGs"]).copy()
+    base = pipe.render_decomposition(0, resolution_level=4)["rgb"]
+    relit = pipe.relight(str(env), 0, resolution_level=4)
+    assert relit.shape == base.shape and np.isfinite(relit).all()
+    assert np.abs(relit - base).max() > 1e-4     # the light actually changed
+    np.testing.assert_array_equal(
+        np.asarray(pipe.params["material"]["lgtSGs"]), before)
