@@ -108,3 +108,28 @@ def test_rays_hit_rendered_sphere(pipeline_dirs):
     mask = np.asarray(ds.masks[0, :, :, 0] > 0.5).reshape(-1)
     agree = (hits_geom == mask).mean()
     assert agree > 0.99, f"ray/mask agreement {agree}"
+
+
+@pytest.mark.skipif(os.environ.get("FNEUS_E2E", "") != "1",
+                    reason="~11 min of CPU compile; set FNEUS_E2E=1 to run "
+                           "(verified passing in round 2)")
+def test_sharded_runner_trains_and_validates(pipeline_dirs, tmp_path):
+    """The --shard wiring end to end on the 8-virtual-device mesh: a
+    sharded Runner trains (sharded step fn), renders a validation image
+    (sharded render fn), and extracts a mesh (sharded grid fill)."""
+    from make_fake_dtu import write_tiny_conf
+    from factored_neus_tpu.train import runner1
+
+    conf = write_tiny_conf(str(tmp_path / "tiny.conf"),
+                           str(pipeline_dirs["root"] / "data" / "CASE_NAME")
+                           + "/",
+                           str(tmp_path / "exp" / "CASE_NAME"),
+                           iters=2, iters2=2)
+    r = runner1.Runner(conf, mode="train", case="fake_scan", type="dtu",
+                       use_mesh_sharding=True)
+    assert r.mesh is not None and r.mesh.devices.size == 8
+    r.train()
+    assert r.iter_step == 2
+    r.validate_image(idx=0, resolution_level=8)
+    out = r.validate_mesh(world_space=False, resolution=24)
+    assert os.path.exists(out)
