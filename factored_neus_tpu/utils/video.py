@@ -24,7 +24,8 @@ def write_video(path: str, frames: List[np.ndarray], fps: int = 30,
     try:
         import imageio.v2 as imageio
         imageio.mimwrite(path, rgb, fps=fps, quality=9)
-        return path
+        if os.path.exists(path) and os.path.getsize(path) > 0:
+            return path
     except Exception:
         pass
     try:
@@ -32,10 +33,17 @@ def write_video(path: str, frames: List[np.ndarray], fps: int = 30,
         h, w = rgb[0].shape[:2]
         wr = cv.VideoWriter(path, cv.VideoWriter_fourcc(*"mp4v"), fps,
                             (w, h))
-        for f in rgb:
-            wr.write(np.ascontiguousarray(f[..., ::-1]))   # RGB -> BGR
-        wr.release()
-        return path
+        # cv.VideoWriter does NOT raise when the codec is unavailable —
+        # construction succeeds and write() silently no-ops — so check
+        # isOpened() and that a non-empty file actually landed on disk
+        if wr.isOpened():
+            for f in rgb:
+                wr.write(np.ascontiguousarray(f[..., ::-1]))   # RGB -> BGR
+            wr.release()
+            if os.path.exists(path) and os.path.getsize(path) > 0:
+                return path
+        else:
+            wr.release()
     except Exception:
         pass
     # last resort: PNG frame sequence next to the requested path

@@ -48,23 +48,3 @@ def test_profiler_trace_noop():
     with profiler_trace(None):
         pass   # no-op path must not raise
 
-
-def test_write_video_fallbacks(tmp_path):
-    """write_video produces a playable artifact (mp4 or PNG frame dir) and
-    respects the BGR flag."""
-    import numpy as np
-    from factored_neus_tpu.utils.video import write_video
-
-    frames = [np.full((32, 48, 3), i * 10, np.uint8) for i in range(6)]
-    # distinct channels to catch order bugs
-    for f in frames:
-        f[..., 0] = 200
-    out = write_video(str(tmp_path / "v.mp4"), frames, fps=10)
-    assert os.path.exists(out)
-    out_bgr = write_video(str(tmp_path / "v2.mp4"), frames, fps=10, bgr=True)
-    assert os.path.exists(out_bgr)
-    # an mp4 (with an encoder present) or a frame dir (without) — both count
-    if os.path.isdir(out):
-        assert len(os.listdir(out)) == 6
-    else:
-        assert os.path.getsize(out) > 0

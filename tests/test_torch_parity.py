@@ -500,7 +500,7 @@ def test_sg_primitives_parity():
                              torch.from_numpy(mu2))), atol=ATOL)
 
 
-def test_render_with_sg_parity():
+def test_render_with_sg_parity(monkeypatch):
     """The full SG PBR equation, comp_vis=False (deterministic — the MC
     visibility path is RNG-parameterized differently per framework).
     ref:inverRender.py:314-449."""
@@ -508,7 +508,8 @@ def test_render_with_sg_parity():
     from factored_neus_tpu.models import materials as JM
 
     if not torch.cuda.is_available():                # ref hardcodes .cuda()
-        torch.Tensor.cuda = lambda self, *a, **k: self
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **k: self)
 
     P, M = 10, 12
     rng = np.random.RandomState(50)
