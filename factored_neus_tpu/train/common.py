@@ -49,6 +49,11 @@ class TrainConfig:
     igr_weight: float = 0.1
     mask_weight: float = 0.0
     surface_weight: float = 0.1
+    # validation/inference ray-chunk size. Chunking is math-invariant; the
+    # forward-only render runs ~25% faster at 2048 than at the training
+    # batch of 512 (BENCHMARKS.md), so validation panels/videos use this
+    # larger chunk (>= batch_size, multiple of it for shard divisibility)
+    val_chunk: int = 2048
 
     @classmethod
     def from_conf(cls, c: ConfigTree, stage: int = 1,

@@ -170,7 +170,7 @@ class Runner:
         H, W = rays_o.shape[:2]
         ro = np.asarray(rays_o).reshape(-1, 3)
         rd = np.asarray(rays_d).reshape(-1, 3)
-        B = self.tcfg.batch_size
+        B = max(self.tcfg.val_chunk, self.tcfg.batch_size)
         n = len(ro)
         pad = (-n) % B
         if pad:
