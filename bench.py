@@ -171,7 +171,8 @@ def main():
             "unit": "rays/s",
             "n_devices": len(devices),
             "per_chip": round(r["rays_per_sec"] / len(devices), 1),
-            **({"mfu": round(r["mfu"], 4)} if "mfu" in r else {}),
+            # no MFU here: cost_analysis of the SPMD-partitioned module is
+            # per-device, which would misreport against the fleet peak
         }))
         return
 

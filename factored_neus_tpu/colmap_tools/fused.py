@@ -35,32 +35,22 @@ class MeshPoint:
 
 
 def write_fused_ply(points: List[MeshPoint], path: str) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     n = len(points)
-    header = ["ply", "format binary_little_endian 1.0",
-              f"element vertex {n}",
-              "property float x", "property float y", "property float z",
-              "property float nx", "property float ny", "property float nz",
-              "property uchar red", "property uchar green",
-              "property uchar blue", "end_header"]
-    rec = np.zeros(n, dtype=[("xyz", "<f4", 3), ("n", "<f4", 3),
-                             ("rgb", "u1", 3)])
-    if n:
-        rec["xyz"] = np.stack([p.position for p in points])
-        rec["n"] = np.stack([p.normal for p in points])
-        rec["rgb"] = np.stack([p.color for p in points])
-    with open(path, "wb") as f:
-        f.write(("\n".join(header) + "\n").encode())
-        f.write(rec.tobytes())
+    z = np.zeros((n, 3), np.float32)
+    xyz = np.stack([p.position for p in points]) if n else z
+    nrm = np.stack([p.normal for p in points]) if n else z
+    rgb = (np.stack([p.color for p in points]) if n
+           else np.zeros((n, 3), np.uint8))
+    PLY.write_ply(path, xyz, colors=rgb, normals=nrm)
 
 
 def write_fused_ply_vis(points: List[MeshPoint], path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
-        f.write(np.uint64(len(points)).tobytes())
+        f.write(np.uint64(len(points)).astype("<u8").tobytes())
         for p in points:
             idxs = np.asarray(p.visible_image_idxs, "<u4")
-            f.write(np.uint32(len(idxs)).tobytes())
+            f.write(np.uint32(len(idxs)).astype("<u4").tobytes())
             f.write(idxs.tobytes())
 
 
@@ -70,7 +60,10 @@ def write_fused(points: List[MeshPoint], ply_path: str,
     write_fused_ply_vis(points, vis_path)
 
 
-def read_fused(ply_path: str, vis_path: str) -> List[MeshPoint]:
+def read_fused(ply_path: str, vis_path: str, as_arrays: bool = False):
+    """List[MeshPoint] by default; as_arrays=True returns the columnar form
+    (xyz [N,3], normals [N,3], rgb [N,3] u8, counts [N], flat_idxs) — use
+    it for MVS-scale clouds where N MeshPoint objects cost real memory."""
     v = PLY.read_ply(ply_path)["vertex"]
     xyz = np.stack([np.asarray(v[c], np.float32) for c in "xyz"], 1)
     nrm = np.stack([np.asarray(v["n" + c], np.float32) for c in "xyz"], 1)
@@ -94,6 +87,10 @@ def read_fused(ply_path: str, vis_path: str) -> List[MeshPoint]:
         pos += 1 + counts[i]
     if pos != len(words):
         raise ValueError(f"trailing/truncated .vis data in {vis_path}")
+    if as_arrays:
+        keep = np.ones(len(words), bool)
+        keep[starts - 1] = False          # drop the count words
+        return xyz, nrm, rgb, counts, words[keep].copy()
     return [MeshPoint(xyz[i], nrm[i], rgb[i],
                       words[starts[i]:starts[i] + counts[i]].copy())
             for i in range(n)]

@@ -87,25 +87,8 @@ def model_frustums(cameras: Dict[int, CM.Camera],
 
 def _write_ply_with_edges(path: str, verts: np.ndarray,
                           colors: np.ndarray, edges: np.ndarray) -> None:
-    """Binary-LE PLY with vertex colors and an edge element (the PLY
-    line-segment representation MeshLab/CloudCompare render)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    header = ["ply", "format binary_little_endian 1.0",
-              f"element vertex {len(verts)}",
-              "property float x", "property float y", "property float z",
-              "property uchar red", "property uchar green",
-              "property uchar blue",
-              f"element edge {len(edges)}",
-              "property int vertex1", "property int vertex2",
-              "end_header"]
-    vrec = np.zeros(len(verts), dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
-    vrec["xyz"] = verts
-    vrec["rgb"] = np.clip(colors, 0, 255).astype(np.uint8)
-    erec = np.asarray(edges, "<i4")
-    with open(path, "wb") as f:
-        f.write(("\n".join(header) + "\n").encode())
-        f.write(vrec.tobytes())
-        f.write(erec.tobytes())
+    from ..meshing.ply import write_ply
+    write_ply(path, verts, colors=colors, edges=edges)
 
 
 def export_model_ply(model_dir: str, out_path: str, ext: str = "",

@@ -23,39 +23,54 @@ _PLY_TO_NP = {
 
 def write_ply(path: str, vertices: np.ndarray,
               faces: Optional[np.ndarray] = None,
-              colors: Optional[np.ndarray] = None) -> None:
-    """Binary-little-endian PLY with float32 xyz, optional uchar rgb,
-    int32 triangle faces."""
+              colors: Optional[np.ndarray] = None,
+              normals: Optional[np.ndarray] = None,
+              edges: Optional[np.ndarray] = None) -> None:
+    """Binary-little-endian PLY with float32 xyz, optional float32 normals
+    (nx/ny/nz), optional uchar rgb, int32 triangle faces, and an optional
+    edge element (vertex1/vertex2 line segments — the wireframe form
+    MeshLab/CloudCompare render). The single PLY serializer for the repo
+    (mesh export, COLMAP fused clouds, frustum visualizations)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     v = np.asarray(vertices, np.float32)
     n_v = len(v)
     header = ["ply", "format binary_little_endian 1.0",
               f"element vertex {n_v}",
               "property float x", "property float y", "property float z"]
+    fields = [("xyz", "<f4", 3)]
+    if normals is not None:
+        header += ["property float nx", "property float ny",
+                   "property float nz"]
+        fields.append(("n", "<f4", 3))
     if colors is not None:
         header += ["property uchar red", "property uchar green",
                    "property uchar blue"]
+        fields.append(("rgb", "u1", 3))
     if faces is not None:
         header += [f"element face {len(faces)}",
                    "property list uchar int vertex_indices"]
+    if edges is not None:
+        header += [f"element edge {len(edges)}",
+                   "property int vertex1", "property int vertex2"]
     header.append("end_header")
 
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode())
+        rec = np.zeros(n_v, dtype=fields)
+        rec["xyz"] = v
+        if normals is not None:
+            rec["n"] = np.asarray(normals, np.float32)
         if colors is not None:
-            c = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
-            rec = np.zeros(n_v, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
-            rec["xyz"] = v
-            rec["rgb"] = c
-            f.write(rec.tobytes())
-        else:
-            f.write(v.astype("<f4").tobytes())
+            rec["rgb"] = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
+        f.write(rec.tobytes())
         if faces is not None:
             fa = np.asarray(faces, np.int32)
-            rec = np.zeros(len(fa), dtype=[("n", "u1"), ("idx", "<i4", 3)])
-            rec["n"] = 3
-            rec["idx"] = fa
-            f.write(rec.tobytes())
+            frec = np.zeros(len(fa), dtype=[("n", "u1"), ("idx", "<i4", 3)])
+            frec["n"] = 3
+            frec["idx"] = fa
+            f.write(frec.tobytes())
+        if edges is not None:
+            f.write(np.asarray(edges, "<i4").tobytes())
 
 
 def _parse_header(f):

@@ -65,6 +65,7 @@ class TrainConfig:
             end_iter=int(t.get("end_iter", 300000)),
             batch_size=int(t.get("batch_size", 512)),
             validate_resolution_level=int(t.get("validate_resolution_level", 4)),
+            val_chunk=int(t.get("val_chunk", 2048)),
             warm_up_end=float(t.get("warm_up_end", 0.0)),
             anneal_end=float(t.get("anneal_end", 0.0)),
             use_white_bkgd=bool(t.get("use_white_bkgd", False)),

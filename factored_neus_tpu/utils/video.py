@@ -46,7 +46,14 @@ def write_video(path: str, frames: List[np.ndarray], fps: int = 30,
             wr.release()
     except Exception:
         pass
-    # last resort: PNG frame sequence next to the requested path
+    # last resort: PNG frame sequence next to the requested path; drop any
+    # partial mp4 a mid-write encoder failure left behind so globs don't
+    # pick up an unplayable file
+    if os.path.exists(path):
+        try:
+            os.remove(path)
+        except OSError:
+            pass
     from ..data.images import imwrite
     frame_dir = os.path.splitext(path)[0] + "_frames"
     os.makedirs(frame_dir, exist_ok=True)

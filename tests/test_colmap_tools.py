@@ -189,3 +189,22 @@ def test_database_rolls_back_on_exception(tmp_path):
     with DB.ColmapDatabase(path) as db:
         assert db.images() == {}          # the partial image row rolled back
         assert 1 in db.cameras()          # the committed camera survived
+
+
+def test_fused_read_as_arrays(tmp_path):
+    from factored_neus_tpu.colmap_tools import fused as FU
+    rng = np.random.RandomState(7)
+    pts = [FU.MeshPoint(rng.randn(3).astype(np.float32),
+                        rng.randn(3).astype(np.float32),
+                        rng.randint(0, 255, 3).astype(np.uint8),
+                        rng.randint(0, 9, i % 3).astype(np.uint32))
+           for i in range(12)]
+    ply_p = str(tmp_path / "f.ply")
+    FU.write_fused(pts, ply_p, ply_p + ".vis")
+    xyz, nrm, rgb, counts, flat = FU.read_fused(ply_p, ply_p + ".vis",
+                                                as_arrays=True)
+    assert xyz.shape == (12, 3) and counts.sum() == len(flat)
+    np.testing.assert_array_equal(counts,
+                                  [p.num_visible_images for p in pts])
+    np.testing.assert_array_equal(
+        flat, np.concatenate([p.visible_image_idxs for p in pts]))
