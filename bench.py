@@ -192,11 +192,28 @@ def main():
 
     # two measurement windows, report the better: the tunneled backend's
     # first window after an idle/wedged period reads 10-20% low (SKILL.md
-    # gotchas); steady-state throughput is the max, not the mean
-    r = measure(BATCH)
-    r2 = measure(BATCH)
-    if r2["rays_per_sec"] > r["rays_per_sec"]:
-        r = r2
+    # gotchas); steady-state throughput is the max, not the mean. The
+    # tunnel occasionally wedges outright — retry once after a pause, and
+    # always emit a parseable JSON line rather than a bare traceback.
+    try:
+        try:
+            r = measure(BATCH)
+        except Exception:
+            time.sleep(120)
+            r = measure(BATCH)
+    except Exception as e:                      # backend down: say so
+        print(json.dumps({
+            "metric": "stage1_train_rays_per_sec_per_chip",
+            "value": None, "unit": "rays/s",
+            "note": f"TPU backend failure: {type(e).__name__}: {e}"[:300],
+        }))
+        return
+    try:                                        # second window best-effort
+        r2 = measure(BATCH)
+        if r2["rays_per_sec"] > r["rays_per_sec"]:
+            r = r2
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "stage1_train_rays_per_sec_per_chip",
         "value": round(r["rays_per_sec"], 1),
