@@ -11,7 +11,8 @@ selection is JAX's job; multi-chip runs use --shard).
 import argparse
 
 from factored_neus_tpu.train.runner1 import Runner
-from factored_neus_tpu.utils.logging import setup_logging
+from factored_neus_tpu.utils.logging import (debug_nans, profiler_trace,
+                                             setup_logging)
 
 
 def main():
@@ -28,31 +29,36 @@ def main():
     parser.add_argument("--idx", type=int, default=0)
     parser.add_argument("--shard", default=False, action="store_true",
                         help="shard the ray batch over all local devices")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run to DIR")
+    parser.add_argument("--debug_nans", default=False, action="store_true",
+                        help="halt on the first NaN produced on device")
     args = parser.parse_args()
 
-    runner = Runner(args.conf, args.mode, args.case, args.is_continue,
-                    args.type, args.surface_weight,
-                    use_mesh_sharding=args.shard)
+    with debug_nans(args.debug_nans), profiler_trace(args.profile):
+        runner = Runner(args.conf, args.mode, args.case, args.is_continue,
+                        args.type, args.surface_weight,
+                        use_mesh_sharding=args.shard)
 
-    if args.mode == "train":
-        runner.train()
-    elif args.mode == "validate_mesh":
-        runner.validate_mesh(world_space=True, resolution=512,
-                             threshold=args.mcube_threshold)
-    elif args.mode == "validate_mesh_shiny":
-        runner.validate_mesh_shiny()
-    elif args.mode == "mesh_dtu_shpere2world":
-        runner.mesh_dtu_sphere2world(mesh_name="dtu122-300000")
-    elif args.mode == "validate_image":
-        if args.type in ("dtu", "sk3d"):
-            runner.validate_image(resolution_level=1, idx=args.idx)
+        if args.mode == "train":
+            runner.train()
+        elif args.mode == "validate_mesh":
+            runner.validate_mesh(world_space=True, resolution=512,
+                                 threshold=args.mcube_threshold)
+        elif args.mode == "validate_mesh_shiny":
+            runner.validate_mesh_shiny()
+        elif args.mode == "mesh_dtu_shpere2world":
+            runner.mesh_dtu_sphere2world(mesh_name="dtu122-300000")
+        elif args.mode == "validate_image":
+            if args.type in ("dtu", "sk3d"):
+                runner.validate_image(resolution_level=1, idx=args.idx)
+            else:
+                runner.validate_synthetic_img(idx=57, resolution_level=1)
+        elif args.mode.startswith("interpolate"):
+            _, i0, i1 = args.mode.split("_")
+            runner.interpolate_view(int(i0), int(i1))
         else:
-            runner.validate_synthetic_img(idx=57, resolution_level=1)
-    elif args.mode.startswith("interpolate"):
-        _, i0, i1 = args.mode.split("_")
-        runner.interpolate_view(int(i0), int(i1))
-    else:
-        raise SystemExit(f"unknown mode {args.mode}")
+            raise SystemExit(f"unknown mode {args.mode}")
 
 
 if __name__ == "__main__":

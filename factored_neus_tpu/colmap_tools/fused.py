@@ -82,6 +82,10 @@ def read_fused(ply_path: str, vis_path: str, as_arrays: bool = False):
     starts = np.empty(n, np.int64)
     pos = 0
     for i in range(n):          # offsets only — O(n) scalar ops, no I/O
+        if pos >= len(words):
+            raise ValueError(
+                f"truncated .vis data in {vis_path}: point {i}/{n} starts "
+                f"past end of stream")
         counts[i] = words[pos]
         starts[i] = pos + 1
         pos += 1 + counts[i]

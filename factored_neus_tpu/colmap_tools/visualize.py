@@ -38,10 +38,15 @@ _FX_FY_CX_CY = {
 def camera_K(cam: CM.Camera) -> np.ndarray:
     """[3,3] pinhole intrinsics from any supported COLMAP camera model
     (distortion parameters are ignored for frustum display)."""
-    try:
-        fx, fy, cx, cy = (cam.params[i] for i in _FX_FY_CX_CY[cam.model])
-    except KeyError:
+    layout = _FX_FY_CX_CY.get(cam.model)
+    if layout is None:
         raise ValueError(f"unsupported camera model {cam.model!r}")
+    need = max(layout) + 1
+    if len(cam.params) < need:
+        raise ValueError(
+            f"camera model {cam.model!r} needs >= {need} params, "
+            f"got {len(cam.params)}")
+    fx, fy, cx, cy = (cam.params[i] for i in layout)
     K = np.eye(3)
     K[0, 0], K[1, 1], K[0, 2], K[1, 2] = fx, fy, cx, cy
     return K

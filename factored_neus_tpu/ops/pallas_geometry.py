@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sdf import (LANE, _pad1, _pad2, _round_up, effective_weights,
-                         on_tpu)
+                         log_flops, on_tpu)
 
 import os as _os
 
@@ -340,6 +340,14 @@ def _make_geom(cfg, bf16: bool, block_rows: int):
     d_out = C["dims"][-1]
     fwd_kernel = _build_fwd_kernel(cfg, bf16)
     bwd_kernel = _build_bwd_kernel(cfg, bf16)
+    # hand-counted MXU matmul FLOPs per padded row (see pallas_sdf FLOP
+    # accounting).  S = sum of per-layer padded MAC counts; the fwd kernel
+    # runs 2 matmul sweeps/row (forward dot + reverse dot_bt => 4S FLOPs),
+    # the bwd kernel 6 (primal+tangent dots, 2 weight-grad dot_at, 2
+    # input-cotangent dot_bt => 12S FLOPs).
+    S = sum(i * o for i, o in zip(ins_p, outs_p))
+    FWD_FLOPS_PER_ROW = 4.0 * S
+    BWD_FLOPS_PER_ROW = 12.0 * S
 
     def pad_params(ws, bs):
         ws_p = [_pad2(w, ins_p[l], outs_p[l]) for l, w in enumerate(ws)]
@@ -363,6 +371,7 @@ def _make_geom(cfg, bf16: bool, block_rows: int):
         x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(x)
         ws_p, bs_p = pad_params(ws, bs)
         grid = (n_pad // block_rows,)
+        log_flops(n_pad * FWD_FLOPS_PER_ROW)
         out, grad = pl.pallas_call(
             fwd_kernel,
             grid=grid,
@@ -391,6 +400,7 @@ def _make_geom(cfg, bf16: bool, block_rows: int):
         ctg_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(ct_g)
         ws_p, bs_p = pad_params(ws, bs)
         grid = (n_pad // block_rows,)
+        log_flops(n_pad * BWD_FLOPS_PER_ROW)
         out_specs = [pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
         out_shapes = [jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)]

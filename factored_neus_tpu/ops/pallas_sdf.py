@@ -38,6 +38,42 @@ LANE = 128
 BLOCK_ROWS = 1024
 
 
+# ---------------------------------------------------------------------------
+# Hand-counted FLOP accounting for the Pallas kernels.
+#
+# XLA's cost analysis reports 0 FLOPs for a pallas_call, so the driver bench
+# needs an analytic model to keep MFU honest (VERDICT r2 item 1).  Every
+# kernel wrapper in this module and ops.pallas_geometry logs
+# `padded_rows * matmul_flops_per_row` here at TRACE time; bench.py brackets
+# a `.lower()` of the train step with flop_log_start()/flop_log_stop() and
+# adds the total to XLA's own count of the remainder.  The model counts MXU
+# matmul FLOPs at the PADDED shapes the hardware executes (2 FLOPs/MAC);
+# VPU elementwise/transcendental work (PE sin/cos, softplus, sigmoids) is
+# excluded, so the total is a slight UNDER-count and MFU a lower bound.
+# Valid only for programs whose pallas calls are not inside lax.scan/map
+# bodies (trace-once, run-many would undercount) — true of the stage-1 train
+# step, asserted by tests/test_pallas_geometry.py::test_flop_model.
+_FLOP_LOG = None
+
+
+def flop_log_start():
+    global _FLOP_LOG
+    _FLOP_LOG = []
+
+
+def flop_log_stop() -> float:
+    """Returns total logged Pallas FLOPs since flop_log_start, and stops."""
+    global _FLOP_LOG
+    total = float(sum(_FLOP_LOG)) if _FLOP_LOG else 0.0
+    _FLOP_LOG = None
+    return total
+
+
+def log_flops(n: float) -> None:
+    if _FLOP_LOG is not None:
+        _FLOP_LOG.append(float(n))
+
+
 def on_tpu() -> bool:
     """True when the default backend is a TPU (incl. tunneled plugins)."""
     try:
@@ -211,6 +247,8 @@ def sdf_forward_pallas(params, cfg: "SDFConfig", pts: jnp.ndarray,
         out = call_kernel(*primals)
         return out, jnp.zeros_like(out)
 
+    # 2 FLOPs/MAC over the padded per-layer matmuls, all rows
+    log_flops(n_pad * 2.0 * sum(i * o for i, o in zip(in_dims, out_dims)))
     out = wrapped(pts_p, tuple(ws_p), tuple(bs_p))
 
     if full_out:

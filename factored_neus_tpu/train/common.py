@@ -91,6 +91,19 @@ class TrainConfig:
         return cls(**base)
 
 
+def val_chunk_size(tcfg: TrainConfig, mesh=None) -> int:
+    """Validation/inference ray-chunk size: at least batch_size, and when a
+    device mesh is active, rounded UP to a multiple of the device count —
+    shard_map requires the ray axis to divide evenly, so a conf'd val_chunk
+    like 1000 on 8 chips must widen to 1008 rather than fail at the first
+    mid-training validation."""
+    B = max(tcfg.val_chunk, tcfg.batch_size)
+    if mesh is not None:
+        n = int(mesh.devices.size)
+        B = ((B + n - 1) // n) * n
+    return B
+
+
 def init_all_params(key, cfg: RendererConfig,
                     variance_init_val: float = 0.3) -> Dict[str, Any]:
     """One pytree with every network the three stages need."""

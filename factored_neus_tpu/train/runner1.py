@@ -27,7 +27,7 @@ from ..utils import checkpoints as CK
 from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage1
-from .common import TrainConfig, init_all_params
+from .common import TrainConfig, init_all_params, val_chunk_size
 
 # checkpoint group names, matching ref:exp_runner.py:266-278
 CKPT_KEYS = {
@@ -203,7 +203,7 @@ class Runner:
         H, W = rays_o.shape[:2]
         ro = np.asarray(rays_o).reshape(-1, 3)
         rd = np.asarray(rays_d).reshape(-1, 3)
-        B = max(self.tcfg.val_chunk, self.tcfg.batch_size)
+        B = val_chunk_size(self.tcfg, self.mesh)
         n = ro.shape[0]
         pad = (-n) % B
         if pad:

@@ -24,7 +24,7 @@ from ..utils import checkpoints as CK
 from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage2
-from .common import TrainConfig, init_all_params
+from .common import TrainConfig, init_all_params, val_chunk_size
 from .runner1 import CKPT_KEYS
 
 STAGE2_KEYS = dict(CKPT_KEYS, lvis="lvis_network", indirect="indiLgt_network")
@@ -156,7 +156,7 @@ class Runner:
         H, W = rays_o.shape[:2]
         ro = np.asarray(rays_o).reshape(-1, 3)
         rd = np.asarray(rays_d).reshape(-1, 3)
-        B = max(self.tcfg.val_chunk, self.tcfg.batch_size)
+        B = val_chunk_size(self.tcfg, self.mesh)
         pad = (-len(ro)) % B
         n = len(ro)
         if pad:

@@ -26,7 +26,7 @@ from ..utils import checkpoints as CK
 from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage3
-from .common import TrainConfig, init_all_params
+from .common import TrainConfig, init_all_params, val_chunk_size
 from .runner1 import CKPT_KEYS
 from .runner2 import STAGE2_KEYS
 
@@ -170,7 +170,7 @@ class Runner:
         H, W = rays_o.shape[:2]
         ro = np.asarray(rays_o).reshape(-1, 3)
         rd = np.asarray(rays_d).reshape(-1, 3)
-        B = max(self.tcfg.val_chunk, self.tcfg.batch_size)
+        B = val_chunk_size(self.tcfg, self.mesh)
         n = len(ro)
         pad = (-n) % B
         if pad:

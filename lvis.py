@@ -6,7 +6,8 @@ Same surface as the reference entry point (ref:lvis.py:415-447).
 import argparse
 
 from factored_neus_tpu.train.runner2 import Runner
-from factored_neus_tpu.utils.logging import setup_logging
+from factored_neus_tpu.utils.logging import (debug_nans, profiler_trace,
+                                             setup_logging)
 
 
 def main():
@@ -22,19 +23,24 @@ def main():
     parser.add_argument("--case", type=str, default="")
     parser.add_argument("--type", type=str, default="dtu")
     parser.add_argument("--shard", default=False, action="store_true")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run to DIR")
+    parser.add_argument("--debug_nans", default=False, action="store_true",
+                        help="halt on the first NaN produced on device")
     args = parser.parse_args()
 
-    runner = Runner(args.conf, args.mode, args.case, args.is_continue,
-                    args.type, use_mesh_sharding=args.shard)
-    if args.mode == "train":
-        runner.train()
-    elif args.mode == "validate_image":
-        if args.type in ("dtu", "sk3d"):
-            runner.validate_image(resolution_level=1)
+    with debug_nans(args.debug_nans), profiler_trace(args.profile):
+        runner = Runner(args.conf, args.mode, args.case, args.is_continue,
+                        args.type, use_mesh_sharding=args.shard)
+        if args.mode == "train":
+            runner.train()
+        elif args.mode == "validate_image":
+            if args.type in ("dtu", "sk3d"):
+                runner.validate_image(resolution_level=1)
+            else:
+                runner.validate_synthetic_img(resolution_level=1)
         else:
-            runner.validate_synthetic_img(resolution_level=1)
-    else:
-        raise SystemExit(f"unknown mode {args.mode}")
+            raise SystemExit(f"unknown mode {args.mode}")
 
 
 if __name__ == "__main__":

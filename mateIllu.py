@@ -10,7 +10,8 @@ the reference's hardcoded per-case view-index tables. The round-1 names
 import argparse
 
 from factored_neus_tpu.train.runner3 import Runner
-from factored_neus_tpu.utils.logging import setup_logging
+from factored_neus_tpu.utils.logging import (debug_nans, profiler_trace,
+                                             setup_logging)
 
 # ref:mateIllu.py:1135-1146 — the per-case test view for shiny scenes.
 _SHINY_IDX = {"car": 37, "helmet": 60, "toaster": 141, "teapot": 199,
@@ -40,40 +41,45 @@ def main():
     parser.add_argument("--type", type=str, default="dtu")
     parser.add_argument("--idx", type=int, default=0)
     parser.add_argument("--shard", default=False, action="store_true")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run to DIR")
+    parser.add_argument("--debug_nans", default=False, action="store_true",
+                        help="halt on the first NaN produced on device")
     args = parser.parse_args()
 
-    runner = Runner(args.conf, args.mode, args.case, args.is_continue,
-                    args.type, use_mesh_sharding=args.shard)
-    if args.mode == "train":
-        runner.train()
-    elif args.mode == "validate_image":
-        if args.type in ("dtu", "sk3d"):
-            runner.validate_image(resolution_level=1, idx=args.idx)
-        elif args.type == "shiny":
-            # The reference routes shiny here to shiny_validate_test
-            # (ref:mateIllu.py:1146), which is broken upstream (references
-            # a nonexistent DatasetShiny2); we map the mode + idx table to
-            # the working decomposition-validate path.
-            idx = _case_idx(args.case, _SHINY_IDX, 0)
-            runner.validate_image(resolution_level=1, idx=idx)
+    with debug_nans(args.debug_nans), profiler_trace(args.profile):
+        runner = Runner(args.conf, args.mode, args.case, args.is_continue,
+                        args.type, use_mesh_sharding=args.shard)
+        if args.mode == "train":
+            runner.train()
+        elif args.mode == "validate_image":
+            if args.type in ("dtu", "sk3d"):
+                runner.validate_image(resolution_level=1, idx=args.idx)
+            elif args.type == "shiny":
+                # The reference routes shiny here to shiny_validate_test
+                # (ref:mateIllu.py:1146), which is broken upstream (references
+                # a nonexistent DatasetShiny2); we map the mode + idx table to
+                # the working decomposition-validate path.
+                idx = _case_idx(args.case, _SHINY_IDX, 0)
+                runner.validate_image(resolution_level=1, idx=idx)
+            else:
+                runner.validate_synthetic_img(resolution_level=1, idx=args.idx)
+        elif args.mode in ("indiSG_psnr", "cal_psnr"):
+            idx = (_case_idx(args.case, _SYNTH_IDX, 55)
+                   if args.mode == "indiSG_psnr" else args.idx)
+            runner.cal_synthetic_psnr(idx=idx, resolution_level=1)
+        elif args.mode in ("relgt_synthetic_img", "relgt_img"):
+            idx = (_case_idx(args.case, _SYNTH_IDX, 55)
+                   if args.mode == "relgt_synthetic_img" else args.idx)
+            runner.relgt_synthetic_img(idx=idx, resolution_level=1)
+        elif args.mode in ("relgt_synthetic_video", "relgt_video"):
+            runner.relgt_synthetic_video()
+        elif args.mode == "validate_video":
+            runner.validate_video()
+        elif args.mode == "validate_synthetic_video":
+            runner.validate_synthetic_video()
         else:
-            runner.validate_synthetic_img(resolution_level=1, idx=args.idx)
-    elif args.mode in ("indiSG_psnr", "cal_psnr"):
-        idx = (_case_idx(args.case, _SYNTH_IDX, 55)
-               if args.mode == "indiSG_psnr" else args.idx)
-        runner.cal_synthetic_psnr(idx=idx, resolution_level=1)
-    elif args.mode in ("relgt_synthetic_img", "relgt_img"):
-        idx = (_case_idx(args.case, _SYNTH_IDX, 55)
-               if args.mode == "relgt_synthetic_img" else args.idx)
-        runner.relgt_synthetic_img(idx=idx, resolution_level=1)
-    elif args.mode in ("relgt_synthetic_video", "relgt_video"):
-        runner.relgt_synthetic_video()
-    elif args.mode == "validate_video":
-        runner.validate_video()
-    elif args.mode == "validate_synthetic_video":
-        runner.validate_synthetic_video()
-    else:
-        raise SystemExit(f"unknown mode {args.mode}")
+            raise SystemExit(f"unknown mode {args.mode}")
 
 
 if __name__ == "__main__":

@@ -48,3 +48,42 @@ def test_profiler_trace_noop():
     with profiler_trace(None):
         pass   # no-op path must not raise
 
+
+
+def test_profiler_trace_writes(tmp_path):
+    d = str(tmp_path / "trace")
+    with profiler_trace(d):
+        float(jax.jit(lambda x: x * 2.0)(jnp.asarray(1.0)))
+    found = []
+    for root, _, files in os.walk(d):
+        found += files
+    assert found, "profiler_trace produced no trace files"
+
+
+@pytest.mark.parametrize("cli", ["exp_runner", "lvis", "mateIllu"])
+def test_cli_profile_flag_plumbs(cli, monkeypatch, tmp_path):
+    """--profile/--debug_nans reach profiler_trace/debug_nans on every entry
+    point (VERDICT r2 item 5): stub the Runner, run main(), assert the trace
+    dir is created and populated."""
+    import importlib
+    mod = importlib.import_module(cli)
+
+    class StubRunner:
+        def __init__(self, *a, **k):
+            pass
+
+        def train(self):
+            assert jax.config.jax_debug_nans     # --debug_nans active
+            float(jax.jit(lambda x: x + 1.0)(jnp.asarray(0.0)))
+
+    monkeypatch.setattr(mod, "Runner", StubRunner)
+    d = str(tmp_path / "prof")
+    monkeypatch.setattr(
+        "sys.argv",
+        [cli + ".py", "--mode", "train", "--profile", d, "--debug_nans"])
+    mod.main()
+    assert not jax.config.jax_debug_nans         # restored on exit
+    found = []
+    for root, _, files in os.walk(d):
+        found += files
+    assert found, f"{cli} --profile produced no trace files"

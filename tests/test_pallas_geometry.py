@@ -189,3 +189,40 @@ def test_bf16_backward_gradients_close():
     flat_r, _ = jax.tree_util.tree_flatten(rp)
     for i, (a, b) in enumerate(zip(flat_p, flat_r)):
         check(a, b, f"param[{i}]")
+
+
+def test_flop_model():
+    """The hand-counted FLOP log (bench.py MFU accounting): a traced fwd
+    logs 4*S FLOPs per padded row, fwd+bwd under jax.grad logs 16*S —
+    where S is the sum of per-layer padded MAC counts.  Recomputed here
+    independently of the kernel-side constants."""
+    from factored_neus_tpu.ops import pallas_sdf as PS
+
+    cfg, params, x = _setup(n=150)
+    block = 64
+    _, ins, outs, _ = PG._dims(cfg)
+    rup = lambda d: ((d + 127) // 128) * 128
+    S = sum(rup(i) * rup(o) for i, o in zip(ins, outs))
+    n_pad = ((150 + block - 1) // block) * block
+
+    PS.flop_log_start()
+    PG.sdf_value_grad_feat_pallas(params, cfg, x, bf16=False,
+                                  block_rows=block)
+    got_fwd = PS.flop_log_stop()
+    assert got_fwd == 2 * 2 * S * n_pad, (got_fwd, S, n_pad)
+
+    def loss(params, x):
+        s, f, g = PG.sdf_value_grad_feat_pallas(params, cfg, x, bf16=False,
+                                                block_rows=block)
+        return _loss_terms(s, f, g, x)
+
+    PS.flop_log_start()
+    jax.jit(jax.grad(loss)).lower(params, x)     # trace only — no execution
+    got_bwd = PS.flop_log_stop()
+    assert got_bwd == (4 + 12) * S * n_pad, (got_bwd, S, n_pad)
+
+    # log is off outside start/stop: no accumulation, no error
+    PG.sdf_value_grad_feat_pallas(params, cfg, x, bf16=False,
+                                  block_rows=block)
+    PS.flop_log_start()
+    assert PS.flop_log_stop() == 0.0

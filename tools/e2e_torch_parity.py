@@ -10,12 +10,21 @@ backends). RNG streams differ between frameworks, so trajectories are
 compared by convergence level, not bitwise.
 
 Usage:
-  python tools/e2e_torch_parity.py setup  <workdir> [iters]
-  python tools/e2e_torch_parity.py torch  <workdir>        # CPU, slow
-  python tools/e2e_torch_parity.py jax    <workdir>
-  python tools/e2e_torch_parity.py compare <workdir>       # prints table
+  python tools/e2e_torch_parity.py setup  <workdir> [iters] [--full]
+  python tools/e2e_torch_parity.py torch  <workdir> [--seed N]  # CPU, slow
+  python tools/e2e_torch_parity.py jax    <workdir> [--seed N]
+  python tools/e2e_torch_parity.py compare <workdir>            # 1-seed table
+  python tools/e2e_torch_parity.py compare-multi <workdir>      # mean+-spread
 
-Ref anchors: exp_runner.py:124-238 (train loop), sh_dtu.sh:5-15.
+--full switches the conf from the CPU-feasible reduced architecture to the
+REFERENCE architecture (8x256 SDF skip[4], 4x256 rendering, 64+64 samples,
+4 up-sample rounds — confs/wmask.conf model block verbatim; batch stays 64
+for single-core torch feasibility).  --seed N seeds both frameworks
+(torch.manual_seed / PRNGKey) and isolates exp dirs + result files per
+seed, so compare-multi can report cross-framework gap vs seed spread.
+
+Ref anchors: exp_runner.py:124-238 (train loop), sh_dtu.sh:5-15,
+confs/wmask.conf:48-103 (full architecture).
 """
 import glob
 import json
@@ -75,13 +84,14 @@ train {{
 }}
 model {{
     nerf {{
-        D = 2, d_in = 4, d_in_view = 3, W = 32,
+        D = {nerf_D}, d_in = 4, d_in_view = 3, W = {nerf_W},
         multires = 4, multires_view = 2, output_ch = 4,
-        skips = [], use_viewdirs = True
+        skips = {nerf_skips}, use_viewdirs = True
     }}
     sdf_network {{
-        d_out = 257, d_in = 3, d_hidden = 64, n_layers = 4,
-        skip_in = [2], multires = 6, bias = 0.5, scale = 1.0,
+        d_out = 257, d_in = 3, d_hidden = {sdf_hidden},
+        n_layers = {sdf_layers},
+        skip_in = {sdf_skip}, multires = 6, bias = 0.5, scale = 1.0,
         geometric_init = True, weight_norm = True
     }}
     variance_network {{
@@ -89,33 +99,69 @@ model {{
     }}
     rendering_network {{
         d_feature = 256, mode = idr, d_in = 9, d_out = 3,
-        d_hidden = 64, n_layers = 4, weight_norm = True,
+        d_hidden = {rend_hidden}, n_layers = {rend_layers},
+        weight_norm = True,
         multires_view = 4, squeeze_out = True
     }}
     neus_renderer {{
-        n_samples = 16, n_importance = 16, n_outside = 0,
-        up_sample_steps = 2, perturb = 1.0
+        n_samples = {n_samples}, n_importance = {n_importance},
+        n_outside = 0,
+        up_sample_steps = {up_steps}, perturb = 1.0
     }}
     lvis_renderer {{
-        n_samples = 16, n_importance = 16, n_outside = 0,
-        up_sample_steps = 2, perturb = 1.0
+        n_samples = {n_samples}, n_importance = {n_importance},
+        n_outside = 0,
+        up_sample_steps = {up_steps}, perturb = 1.0
     }}
 }}
 """
 
+# CPU-feasible reduced architecture (round-2 default)
+REDUCED_ARCH = dict(nerf_D=2, nerf_W=32, nerf_skips="[]",
+                    sdf_hidden=64, sdf_layers=4, sdf_skip="[2]",
+                    rend_hidden=64, rend_layers=4,
+                    n_samples=16, n_importance=16, up_steps=2)
+# The reference architecture, confs/wmask.conf model block (nerf kept small:
+# n_outside=0 never evaluates it — it only pads the param count)
+FULL_ARCH = dict(nerf_D=2, nerf_W=32, nerf_skips="[]",
+                 sdf_hidden=256, sdf_layers=8, sdf_skip="[4]",
+                 rend_hidden=256, rend_layers=4,
+                 n_samples=64, n_importance=64, up_steps=4)
 
-def setup(workdir: str, iters: int = 1000, iters2: int = 100):
+
+def setup(workdir: str, iters: int = 1000, iters2: int = 100,
+          full: bool = False):
     from make_fake_dtu import make_fake_dtu_scene
     data_dir = os.path.join(workdir, "data", CASE)
     make_fake_dtu_scene(data_dir, n_views=3, H=64, W=80)
+    arch = FULL_ARCH if full else REDUCED_ARCH
     conf = PARITY_CONF.format(exp=os.path.join(workdir, "exp_CASE_NAME"),
                               data=os.path.join(workdir, "data", "CASE_NAME"),
-                              iters=iters, iters2=iters2)
+                              iters=iters, iters2=iters2, **arch)
     conf_path = os.path.join(workdir, "parity.conf")
     with open(conf_path, "w") as f:
         f.write(conf.replace("exp_CASE_NAME", "exp/CASE_NAME"))
-    print(f"scene + conf at {workdir} (iters={iters})")
+    print(f"scene + conf at {workdir} (iters={iters}, "
+          f"arch={'full' if full else 'reduced'})")
     return conf_path
+
+
+def _seed_conf(workdir: str, seed):
+    """Per-seed conf: same scene/arch, isolated exp dirs (exp_s{N}/)."""
+    conf_path = os.path.join(workdir, "parity.conf")
+    if seed is None:
+        return conf_path
+    with open(conf_path) as f:
+        text = f.read()
+    text = text.replace("/exp/", f"/exp_s{seed}/")
+    sp = os.path.join(workdir, f"parity_s{seed}.conf")
+    with open(sp, "w") as f:
+        f.write(text)
+    return sp
+
+
+def _suffix(seed):
+    return "" if seed is None else f"_s{seed}"
 
 
 def _psnr_curveless(pred_u8_scale, gt_255, mask=None):
@@ -153,7 +199,7 @@ def _chamfer_vs_sphere(mesh_path: str):
     return d2s, s2d
 
 
-def run_torch(workdir: str):
+def run_torch(workdir: str, seed=None):
     sys.path.insert(0, HERE)
     import ref_compat
     ref_compat.install()
@@ -174,7 +220,10 @@ def run_torch(workdir: str):
 
     os.chdir(workdir)                    # reference file_backup copies ./
     from exp_runner import Runner        # the reference
-    conf_path = os.path.join(workdir, "parity.conf")
+    conf_path = _seed_conf(workdir, seed)
+    if seed is not None:                 # ref has no seeding of its own
+        torch.manual_seed(seed)
+        np.random.seed(seed)
     runner = Runner(conf_path, "train", CASE, False, "dtu")
     runner.train()
     runner.save_checkpoint()            # stages 2/3 chain from this
@@ -210,13 +259,14 @@ def run_torch(workdir: str):
     res = {"framework": "torch-reference", "curve": curve,
            "psnr_view0": psnr, "psnr_view0_fg": psnr_fg,
            "chamfer_d2s": d2s, "chamfer_s2d": s2d,
-           "iter_step": runner.iter_step}
-    with open(os.path.join(workdir, "torch_result.json"), "w") as f:
+           "iter_step": runner.iter_step, "seed": seed}
+    out = os.path.join(workdir, f"torch_result{_suffix(seed)}.json")
+    with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps({k: v for k, v in res.items() if k != "curve"}))
 
 
-def run_jax(workdir: str):
+def run_jax(workdir: str, seed=None):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
@@ -238,8 +288,9 @@ def run_jax(workdir: str):
 
     MetricsWriter.scalars = capture
 
-    conf_path = os.path.join(workdir, "parity.conf")
-    runner = Runner(conf_path, "train", CASE, False, "dtu")
+    conf_path = _seed_conf(workdir, seed)
+    runner = Runner(conf_path, "train", CASE, False, "dtu",
+                    seed=0 if seed is None else int(seed))
     runner.train()
     runner.save_checkpoint()            # stages 2/3 chain from this
 
@@ -264,8 +315,9 @@ def run_jax(workdir: str):
     res = {"framework": "factored_neus_tpu", "curve": curve,
            "psnr_view0": psnr, "psnr_view0_fg": psnr_fg,
            "chamfer_d2s": d2s, "chamfer_s2d": s2d,
-           "iter_step": runner.iter_step}
-    with open(os.path.join(workdir, "jax_result.json"), "w") as f:
+           "iter_step": runner.iter_step, "seed": seed}
+    out = os.path.join(workdir, f"jax_result{_suffix(seed)}.json")
+    with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps({k: v for k, v in res.items() if k != "curve"}))
 
@@ -413,24 +465,84 @@ def compare(workdir: str):
         print(f"| {name} | {tv:.4f} | {jv:.4f} |")
 
 
+def compare_multi(workdir: str):
+    """Multi-seed table: per-framework mean +- sample spread of the final
+    metrics, and whether the cross-framework gap of means sits inside the
+    seed spread (the honest backing for the parity north star)."""
+    def load(pat):
+        out = []
+        for p in sorted(glob.glob(os.path.join(workdir, pat))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
+
+    ts, js = load("torch_result_s*.json"), load("jax_result_s*.json")
+    if not ts or not js:
+        print(f"need >=1 seed per side; found torch={len(ts)} jax={len(js)}")
+        return
+
+    def tail_loss(res, tag="Loss/loss", n=4):
+        vals = [c["value"] for c in res["curve"] if c["tag"] == tag]
+        return float(np.mean(vals[-n:])) if vals else float("nan")
+
+    metrics = [
+        ("chamfer d2s vs GT sphere", lambda r: r["chamfer_d2s"]),
+        ("chamfer s2d vs GT sphere", lambda r: r["chamfer_s2d"]),
+        ("validation PSNR (view 0, fg)",
+         lambda r: r.get("psnr_view0_fg", float("nan"))),
+        ("final loss (mean last 4 reports)", tail_loss),
+    ]
+    it = ts[0]["iter_step"]
+    print(f"| metric ({it} iters, {len(ts)} torch / {len(js)} jax seeds) "
+          "| torch mean+-sd [min..max] | jax mean+-sd [min..max] "
+          "| gap | gap/spread |")
+    print("|---|---|---|---|---|")
+    for name, fn in metrics:
+        tv = np.array([fn(r) for r in ts], np.float64)
+        jv = np.array([fn(r) for r in js], np.float64)
+        tsd = tv.std(ddof=1) if len(tv) > 1 else float("nan")
+        jsd = jv.std(ddof=1) if len(jv) > 1 else float("nan")
+        gap = jv.mean() - tv.mean()
+        # spread yardstick: the larger of the two sample sds
+        spread = np.nanmax([tsd, jsd])
+        ratio = abs(gap) / spread if spread and np.isfinite(spread) else \
+            float("nan")
+        print(f"| {name} | {tv.mean():.4f}+-{tsd:.4f} "
+              f"[{tv.min():.4f}..{tv.max():.4f}] "
+              f"| {jv.mean():.4f}+-{jsd:.4f} "
+              f"[{jv.min():.4f}..{jv.max():.4f}] "
+              f"| {gap:+.4f} | {ratio:.2f} |")
+
+
+def _seed_arg(args):
+    if "--seed" in args:
+        return int(args[args.index("--seed") + 1])
+    return None
+
+
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
     cmd, workdir = sys.argv[1], os.path.abspath(sys.argv[2])
+    rest = sys.argv[3:]
     os.makedirs(workdir, exist_ok=True)
     if cmd == "setup":
-        setup(workdir, int(sys.argv[3]) if len(sys.argv) > 3 else 1000)
+        pos = [a for a in rest if not a.startswith("--")]
+        setup(workdir, int(pos[0]) if pos else 1000,
+              full="--full" in rest)
     elif cmd == "torch":
-        run_torch(workdir)
+        run_torch(workdir, _seed_arg(rest))
     elif cmd == "jax":
-        run_jax(workdir)
+        run_jax(workdir, _seed_arg(rest))
     elif cmd == "torch23":
         run_torch23(workdir)
     elif cmd == "jax23":
         run_jax23(workdir)
     elif cmd == "compare":
         compare(workdir)
+    elif cmd == "compare-multi":
+        compare_multi(workdir)
     elif cmd == "compare23":
         compare23(workdir)
     else:
