@@ -183,6 +183,25 @@ class ColmapDatabase:
         return None if row is None else _unblob(row[2], np.float32,
                                                 (row[0], row[1]))
 
+    def descriptors(self, image_id: int) -> Optional[np.ndarray]:
+        row = self.conn.execute(
+            "SELECT rows, cols, data FROM descriptors WHERE image_id=?",
+            (int(image_id),)).fetchone()
+        return None if row is None else _unblob(row[2], np.uint8,
+                                                (row[0], row[1]))
+
+    def two_view_geometries(self, min_num_matches: int = 0):
+        """Yields (image_id1, image_id2, inlier_matches [k,2] u32) for every
+        verified pair with >= min_num_matches inliers."""
+        for pid, rows, cols, data in self.conn.execute(
+                "SELECT pair_id, rows, cols, data FROM two_view_geometries "
+                "WHERE rows>=?", (int(min_num_matches),)):
+            m = _unblob(data, np.uint32, (rows, cols))
+            if m is None:
+                continue
+            i1, i2 = pair_id_to_image_ids(pid)
+            yield i1, i2, m
+
     def matches(self, image_id1: int, image_id2: int) -> Optional[np.ndarray]:
         pid = image_ids_to_pair_id(image_id1, image_id2)
         row = self.conn.execute(

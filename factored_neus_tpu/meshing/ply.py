@@ -25,12 +25,16 @@ def write_ply(path: str, vertices: np.ndarray,
               faces: Optional[np.ndarray] = None,
               colors: Optional[np.ndarray] = None,
               normals: Optional[np.ndarray] = None,
-              edges: Optional[np.ndarray] = None) -> None:
+              edges: Optional[np.ndarray] = None,
+              color_names: Tuple[str, str, str] = ("red", "green", "blue"),
+              ) -> None:
     """Binary-little-endian PLY with float32 xyz, optional float32 normals
     (nx/ny/nz), optional uchar rgb, int32 triangle faces, and an optional
     edge element (vertex1/vertex2 line segments — the wireframe form
     MeshLab/CloudCompare render). The single PLY serializer for the repo
-    (mesh export, COLMAP fused clouds, frustum visualizations)."""
+    (mesh export, COLMAP fused clouds, frustum visualizations).
+    `color_names` supports the legacy Bundler/VisualSfM `diffuse_*`
+    property naming (colmap_tools.interchange)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     v = np.asarray(vertices, np.float32)
     n_v = len(v)
@@ -43,8 +47,7 @@ def write_ply(path: str, vertices: np.ndarray,
                    "property float nz"]
         fields.append(("n", "<f4", 3))
     if colors is not None:
-        header += ["property uchar red", "property uchar green",
-                   "property uchar blue"]
+        header += [f"property uchar {c}" for c in color_names]
         fields.append(("rgb", "u1", 3))
     if faces is not None:
         header += [f"element face {len(faces)}",

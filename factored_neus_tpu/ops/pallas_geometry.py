@@ -208,6 +208,135 @@ def _build_fwd_kernel(cfg, bf16: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _build_bwd_kernel_stacked(cfg, bf16: bool):
+    """Backward kernel over ROW-STACKED (primal; tangent) tensors.
+
+    Same math as _build_bwd_kernel, but every per-layer pair of matmuls
+    (primal+tangent forward dots, the two weight-grad dot_at's, the two
+    input-cotangent dot_bt's) collapses into ONE matmul over [2B, .]
+    stacked rows — 3 MXU launches per layer instead of 6 at twice the rows,
+    which pipelines better through the serialized layer chain (the
+    BENCHMARKS.md-profiled limiter).  Only the activation nonlinearity and
+    its backward mix the two halves, handled by static half-slices.
+
+    Weight-grad identity: [X;Xd]^T @ [R;Rd] = X^T R + Xd^T Rd — the stacked
+    dot_at IS the accumulated pair.
+    """
+    C = _specialize(cfg, bf16)
+    L, skip = C["L"], C["skip"]
+    d_raw, d_embed = C["d_raw"], C["d_embed"]
+    ins, outs, ins_p, outs_p = C["ins"], C["outs"], C["ins_p"], C["outs_p"]
+    EP, OP, scale = C["EP"], C["OP"], C["scale"]
+    dot, dot_bt, dot_at = C["dot"], C["dot_bt"], C["dot_at"]
+    encode, cat_skip, pe_backward = (C["encode"], C["cat_skip"],
+                                     C["pe_backward"])
+    inv_sqrt2 = C["inv_sqrt2"]
+
+    def layer_input(l, h, enc2, B2):
+        """Padded input of layer l given post-activation h; uniform on
+        stacked rows (enc2 is the stacked [enc; denc])."""
+        return cat_skip(h, enc2, l, B2) if l in skip else h
+
+    def kernel(pts_ref, ct_out_ref, ct_g_ref, *refs):
+        w_refs = refs[:L]
+        b_refs = refs[L:2 * L]
+        ctx_ref = refs[2 * L]
+        ctw_refs = refs[2 * L + 1: 3 * L + 1]
+        ctb_refs = refs[3 * L + 1: 4 * L + 1]
+        A_s = refs[4 * L + 1]               # [L, 2B, MAXW] stacked a|ad
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for l in range(L):
+                ctw_refs[l][:, :] = jnp.zeros_like(ctw_refs[l])
+                ctb_refs[l][:, :] = jnp.zeros_like(ctb_refs[l])
+
+        B = pts_ref.shape[0]
+        B2 = 2 * B
+        xyz = pts_ref[:, :d_raw] * scale
+        v = ct_g_ref[:, :d_raw] * scale     # tangent of u = scale*x
+        enc, denc = encode(xyz, v)
+        enc2 = jnp.concatenate([enc, denc], 0)          # [2B, EP]
+
+        # ---- forward: stacked primal|tangent, stash pre-activations ------
+        X = enc2
+        for l in range(L):
+            if l in skip:
+                X = cat_skip(X, enc2, l, B2)
+            A = dot(X[:, :ins_p[l]], w_refs[l][:, :])
+            A = A + b_refs[l][0, :] * _top_mask(B2, A.shape[1])
+            A_s[l, :, :outs_p[l]] = A
+            if l < L - 1:
+                a, ad = A[:B], A[B:]
+                sig = jax.nn.sigmoid(100.0 * a)
+                X = jnp.concatenate(
+                    [jnp.logaddexp(0.0, a * 100.0) * 0.01, sig * ad], 0)
+            else:
+                X = A
+
+        # ---- reverse over the stacked chains -----------------------------
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, OP), 1)
+        colscale = jnp.where(col == 0, 1.0 / scale, 1.0)
+        R = jnp.concatenate(
+            [ct_out_ref[:, :] * colscale,               # cot of a_{L-1}
+             jnp.where(col == 0, 1.0 / scale, 0.0)], 0)  # cot of ad_{L-1}
+        R_ENC = jnp.zeros((B2, EP), jnp.float32)
+        for l in range(L - 1, -1, -1):
+            # layer-l input (recomputed from stashed pre-activations)
+            if l == 0:
+                X_l = enc2
+            else:
+                A_prev = A_s[l - 1, :, :outs_p[l - 1]]
+                a_prev, ad_prev = A_prev[:B], A_prev[B:]
+                sig_prev = jax.nn.sigmoid(100.0 * a_prev)
+                H = jnp.concatenate(
+                    [jnp.logaddexp(0.0, a_prev * 100.0) * 0.01,
+                     sig_prev * ad_prev], 0)
+                X_l = layer_input(l, H, enc2, B2)
+            # param grads: one stacked dot_at == dot_at(x,r)+dot_at(xd,rd)
+            ctw_refs[l][:, :] += dot_at(X_l[:, :ins_p[l]], R[:, :outs_p[l]])
+            ctb_refs[l][:, :] += jnp.sum(R[:B, :outs_p[l]], axis=0,
+                                         keepdims=True)
+            # input cotangents, both chains in one dot_bt
+            R_in = dot_bt(R[:, :outs_p[l]], w_refs[l][:, :])
+            if l in skip:
+                R_in = R_in * inv_sqrt2
+                hw = ins[l] - d_embed
+                zp = jnp.zeros((B2, EP - d_embed), jnp.float32)
+                R_ENC = R_ENC + jnp.concatenate([R_in[:, hw:ins[l]], zp], -1)
+                colw = jax.lax.broadcasted_iota(jnp.int32, R_in.shape, 1)
+                R_in = jnp.where(colw < hw, R_in, 0.0)
+            if l == 0:
+                R_ENC = R_ENC + R_in[:, :EP]
+            else:
+                A_prev = A_s[l - 1, :, :outs_p[l - 1]]
+                a_prev, ad_prev = A_prev[:B], A_prev[B:]
+                sig = jax.nn.sigmoid(100.0 * a_prev)
+                dsig = 100.0 * sig * (1.0 - sig)
+                r_h = R_in[:B, :outs_p[l - 1]]
+                rd_h = R_in[B:, :outs_p[l - 1]]
+                # h = sp(a): dh/da = sig ; hd = sig*ad:
+                #   d(hd)/da = 100 sig (1-sig) ad, d(hd)/d(ad) = sig
+                R = jnp.concatenate(
+                    [r_h * sig + rd_h * dsig * ad_prev, rd_h * sig], 0)
+        ct_u = pe_backward(xyz, R_ENC[:B], R_ENC[B:], v)
+        ct_x = ct_u * scale
+        ctx_ref[:, :] = jnp.concatenate(
+            [ct_x, jnp.zeros((B, LANE - d_raw), jnp.float32)], -1)
+
+    return kernel
+
+
+def _top_mask(rows2, cols):
+    """[2B, cols] mask: 1.0 on the top (primal) half rows, 0.0 below —
+    biases apply to the primal forward only."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows2, cols), 0)
+    return jnp.where(row < rows2 // 2, 1.0, 0.0)
+
+
+@functools.lru_cache(maxsize=None)
 def _build_bwd_kernel(cfg, bf16: bool):
     C = _specialize(cfg, bf16)
     L, skip = C["L"], C["skip"]
@@ -331,7 +460,7 @@ def _interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_geom(cfg, bf16: bool, block_rows: int):
+def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True):
     """Returns f(ws, bs, x) -> (out [N,d_out], grad [N,3]) with custom VJP.
     ws/bs are the UNPADDED effective per-layer weights/biases."""
     C = _specialize(cfg, bf16)
@@ -339,7 +468,12 @@ def _make_geom(cfg, bf16: bool, block_rows: int):
     ins_p, outs_p, OP, MAXW = C["ins_p"], C["outs_p"], C["OP"], C["MAXW"]
     d_out = C["dims"][-1]
     fwd_kernel = _build_fwd_kernel(cfg, bf16)
-    bwd_kernel = _build_bwd_kernel(cfg, bf16)
+    bwd_kernel = (_build_bwd_kernel_stacked(cfg, bf16) if stacked
+                  else _build_bwd_kernel(cfg, bf16))
+    bwd_scratch = ([pltpu.VMEM((L, 2 * block_rows, MAXW), jnp.float32)]
+                   if stacked else
+                   [pltpu.VMEM((L, block_rows, MAXW), jnp.float32),
+                    pltpu.VMEM((L, block_rows, MAXW), jnp.float32)])
     # hand-counted MXU matmul FLOPs per padded row (see pallas_sdf FLOP
     # accounting).  S = sum of per-layer padded MAC counts; the fwd kernel
     # runs 2 matmul sweeps/row (forward dot + reverse dot_bt => 4S FLOPs),
@@ -427,10 +561,7 @@ def _make_geom(cfg, bf16: bool, block_rows: int):
                               memory_space=pltpu.VMEM)] + param_specs()),
             out_specs=out_specs,
             out_shape=out_shapes,
-            scratch_shapes=[
-                pltpu.VMEM((L, block_rows, MAXW), jnp.float32),
-                pltpu.VMEM((L, block_rows, MAXW), jnp.float32),
-            ],
+            scratch_shapes=bwd_scratch,
             interpret=_interpret(),
         )(x_p, cto_p, ctg_p, *ws_p, *bs_p)
         ct_x = res[0][:N, :3]
@@ -455,15 +586,22 @@ def _make_geom(cfg, bf16: bool, block_rows: int):
     return geom
 
 
+# stacked backward (3 matmuls/layer at 2x rows) is the default; =0 restores
+# the 6-matmul split-chain variant for A/B measurement (BENCHMARKS.md)
+STACKED_BWD = _os.environ.get("FNEUS_PG_STACKED", "1") == "1"
+
+
 def sdf_value_grad_feat_pallas(params, cfg, x: jnp.ndarray,
                                bf16: bool = True,
-                               block_rows: int = BLOCK_ROWS
+                               block_rows: int = BLOCK_ROWS,
+                               stacked: "bool | None" = None,
                                ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                           jnp.ndarray]:
     """Drop-in fused replacement for fields.sdf_value_and_grad_feat:
     (sdf [N], feature [N, d_out-1], grad [N,3]), differentiable w.r.t.
     params (incl. weight-norm) and x."""
     ws, bs = effective_weights(params, cfg)
-    geom = _make_geom(cfg, bool(bf16), int(block_rows))
+    geom = _make_geom(cfg, bool(bf16), int(block_rows),
+                      STACKED_BWD if stacked is None else bool(stacked))
     out, grad = geom(tuple(ws), tuple(bs), x)
     return out[:, 0], out[:, 1:], grad

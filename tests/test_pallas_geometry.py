@@ -47,16 +47,20 @@ def _loss_terms(s, f, g, x):
     return eik + normal_use + feat_use + jnp.mean(jnp.abs(s))
 
 
-@pytest.mark.parametrize("scale,skip", [(1.0, (2,)), (1.5, (2,)),
-                                        (1.0, ())])
-def test_bwd_matches_xla(scale, skip):
+@pytest.mark.parametrize("scale,skip,stacked",
+                         [(1.0, (2,), True), (1.5, (2,), True),
+                          (1.0, (), True),
+                          (1.0, (2,), False), (1.0, (), False)])
+def test_bwd_matches_xla(scale, skip, stacked):
     """jax.grad through the custom VJP == jax.grad through the XLA path,
-    for params (weight-norm v/g/b) and inputs."""
+    for params (weight-norm v/g/b) and inputs — both backward-kernel
+    variants (stacked 3-matmul/layer and split 6-matmul/layer)."""
     cfg, params, x = _setup(scale, skip)
 
     def loss_pallas(params, x):
         s, f, g = PG.sdf_value_grad_feat_pallas(params, cfg, x, bf16=False,
-                                                block_rows=64)
+                                                block_rows=64,
+                                                stacked=stacked)
         return _loss_terms(s, f, g, x)
 
     def loss_xla(params, x):
