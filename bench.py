@@ -96,9 +96,16 @@ def make_scene(n_views=4, H=128, W=128):
 
 
 def measure(batch: int, mesh=None, measure_steps: int = MEASURE_STEPS,
-            stage: str = "stage1", with_mfu: bool = True):
+            stage: str = "stage1", with_mfu: bool = True,
+            k_steps: int = 1):
     """Compile + time a train step at `batch` rays; returns a dict with
-    rays/s and (stage 1) the Pallas-aware MFU numbers."""
+    rays/s and (stage 1) the Pallas-aware MFU numbers.
+
+    k_steps > 1 (stage 1 only) measures the multi-step lax.scan program —
+    the production path when confs set train.block_steps.  MFU FLOPs are
+    still derived from the single-step lowering (the per-step math is
+    identical; the scan body traces once, so trace-time Pallas logging of
+    the K-step program would undercount by K)."""
     from factored_neus_tpu.models.renderer import RendererConfig
     from factored_neus_tpu.train import stage1, stage2, stage3
     from factored_neus_tpu.train.common import TrainConfig, init_all_params
@@ -109,7 +116,12 @@ def measure(batch: int, mesh=None, measure_steps: int = MEASURE_STEPS,
                        anneal_end=0.0, mask_weight=0.1)
     params = init_all_params(jax.random.PRNGKey(0), cfg)
     mod = {"stage1": stage1, "stage2": stage2, "stage3": stage3}[stage]
-    opt_init, step_fn = mod.make_train_step(cfg, tcfg, mesh=mesh)
+    if k_steps > 1:
+        assert stage == "stage1", "multi-step blocking is stage-1 only"
+        opt_init, step_fn = mod.make_train_step(cfg, tcfg, mesh=mesh,
+                                                k_steps=k_steps)
+    else:
+        opt_init, step_fn = mod.make_train_step(cfg, tcfg, mesh=mesh)
     opt_state = opt_init(params)
     data = make_scene()
     key = jax.random.PRNGKey(1)
@@ -122,9 +134,11 @@ def measure(batch: int, mesh=None, measure_steps: int = MEASURE_STEPS,
     if with_mfu:
         from factored_neus_tpu.ops import pallas_sdf as PS
         try:
+            single_fn = step_fn if k_steps == 1 else \
+                mod.make_train_step(cfg, tcfg, mesh=mesh)[1]
             PS.flop_log_start()
-            lowered = step_fn.lower(params, opt_state, data, jnp.asarray(0),
-                                    key, jnp.asarray(0))
+            lowered = single_fn.lower(params, opt_state, data,
+                                      jnp.asarray(0), key, jnp.asarray(0))
             pallas_flops = PS.flop_log_stop()
             ca = lowered.compile().cost_analysis()
             if isinstance(ca, list):
@@ -137,28 +151,33 @@ def measure(batch: int, mesh=None, measure_steps: int = MEASURE_STEPS,
             PS.flop_log_stop()
             pallas_flops = None    # cost analysis is best-effort
 
+    def run_block(it):
+        if k_steps == 1:
+            return step_fn(params, opt_state, data, jnp.asarray(it % 4),
+                           jax.random.fold_in(key, it), jnp.asarray(it))
+        idxs = jnp.arange(it, it + k_steps) % 4
+        return step_fn(params, opt_state, data, idxs, key, jnp.asarray(it))
+
     # warmup (includes compile); the value fetch is the only reliable sync
     # point on tunneled PJRT backends (block_until_ready returns eagerly)
-    for it in range(WARMUP_STEPS):
-        params, opt_state, m = step_fn(params, opt_state, data,
-                                       jnp.asarray(it % 4),
-                                       jax.random.fold_in(key, it),
-                                       jnp.asarray(it))
-    float(m["loss"])
+    for w in range(WARMUP_STEPS):
+        params, opt_state, m = run_block(w * k_steps)
+    float(jnp.ravel(m["loss"])[-1])
 
+    n_blocks = max(1, measure_steps // k_steps)
     t0 = time.perf_counter()
-    for it in range(measure_steps):
-        params, opt_state, m = step_fn(params, opt_state, data,
-                                       jnp.asarray(it % 4),
-                                       jax.random.fold_in(key, 100 + it),
-                                       jnp.asarray(WARMUP_STEPS + it))
+    for b in range(n_blocks):
+        params, opt_state, m = run_block(100 + b * k_steps)
     # steps chain through donated params; fetching the last loss forces all
-    float(m["loss"])
+    float(jnp.ravel(m["loss"])[-1])
     dt = time.perf_counter() - t0
 
-    step_s = dt / measure_steps
-    out = {"batch": batch, "rays_per_sec": measure_steps * batch / dt,
+    n_steps = n_blocks * k_steps
+    step_s = dt / n_steps
+    out = {"batch": batch, "rays_per_sec": n_steps * batch / dt,
            "step_ms": step_s * 1e3}
+    if k_steps > 1:
+        out["block_steps"] = k_steps
     if flops_per_step:
         n_dev = 1 if mesh is None else mesh.devices.size
         out["tflops_per_sec"] = flops_per_step / step_s / 1e12
@@ -218,13 +237,20 @@ def main():
     # The aggregation rule is surfaced in the JSON (best_of / windows).
     # The tunnel occasionally wedges outright — retry once after a pause,
     # and always emit a parseable JSON line rather than a bare traceback.
+    # stage-1 headline runs the production multi-step program
+    # (confs/wmask.conf train.block_steps); FNEUS_BENCH_BLOCK=1 reverts
+    k1 = int(_os.environ.get("FNEUS_BENCH_BLOCK", "8"))
+
     def run_stage(stage, with_mfu):
+        k = k1 if stage == "stage1" else 1
         try:
             try:
-                r = measure(BATCH, stage=stage, with_mfu=with_mfu)
+                r = measure(BATCH, stage=stage, with_mfu=with_mfu,
+                            k_steps=k)
             except Exception:
                 time.sleep(120)
-                r = measure(BATCH, stage=stage, with_mfu=with_mfu)
+                r = measure(BATCH, stage=stage, with_mfu=with_mfu,
+                            k_steps=k)
         except Exception as e:                  # backend down: say so
             print(json.dumps({
                 "metric": f"{stage}_train_rays_per_sec_per_chip",
@@ -234,7 +260,7 @@ def main():
             return False
         windows = [round(r["rays_per_sec"], 1)]
         try:                                    # second window best-effort
-            r2 = measure(BATCH, stage=stage, with_mfu=False)
+            r2 = measure(BATCH, stage=stage, with_mfu=False, k_steps=k)
             windows.append(round(r2["rays_per_sec"], 1))
             if r2["rays_per_sec"] > r["rays_per_sec"]:
                 r2.update({k: r[k] for k in
@@ -253,6 +279,8 @@ def main():
                 r["rays_per_sec"] / BASELINE_RAYS_PER_SEC, 3)}
                if stage == "stage1" else {}),
             "best_of": 2, "windows": windows,
+            **({"block_steps": r["block_steps"]}
+               if "block_steps" in r else {}),
             **({"tflops_per_sec": round(r["tflops_per_sec"], 2),
                 "mfu": round(r["mfu"], 4)} if "mfu" in r else {}),
             **({"pallas_flop_frac": round(r["pallas_flop_frac"], 3)}

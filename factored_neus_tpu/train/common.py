@@ -54,6 +54,12 @@ class TrainConfig:
     # batch of 512 (BENCHMARKS.md), so validation panels/videos use this
     # larger chunk (>= batch_size, multiple of it for shard divisibility)
     val_chunk: int = 2048
+    # stage-1 multi-step blocking: >1 compiles a lax.scan of this many
+    # optimizer steps per device program (same trajectory as single steps,
+    # ~+2% throughput by amortizing per-program dispatch; BENCHMARKS.md
+    # round-3 ledger). conf key: train.block_steps — an extension over the
+    # reference schema, defaults off.
+    block_steps: int = 1
 
     @classmethod
     def from_conf(cls, c: ConfigTree, stage: int = 1,
@@ -66,6 +72,7 @@ class TrainConfig:
             batch_size=int(t.get("batch_size", 512)),
             validate_resolution_level=int(t.get("validate_resolution_level", 4)),
             val_chunk=int(t.get("val_chunk", 2048)),
+            block_steps=int(t.get("block_steps", 1)),
             warm_up_end=float(t.get("warm_up_end", 0.0)),
             anneal_end=float(t.get("anneal_end", 0.0)),
             use_white_bkgd=bool(t.get("use_white_bkgd", False)),

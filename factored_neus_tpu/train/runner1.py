@@ -109,18 +109,61 @@ class Runner:
         key = jax.random.PRNGKey(self.iter_step + 1)
         self.meter.start()
 
-        res_step = self.tcfg.end_iter - self.iter_step
-        for _ in range(res_step):
-            img_idx = int(image_perm[self.iter_step % len(image_perm)])
-            k = jax.random.fold_in(key, self.iter_step)
-            self.params, self.opt_state, metrics = self._step_fn(
-                self.params, self.opt_state, self._data,
-                jnp.asarray(img_idx), k, jnp.asarray(self.iter_step))
-            self.iter_step += 1
-            self.meter.step(self.tcfg.batch_size)
+        # multi-step blocking (train.block_steps > 1): run K optimizer steps
+        # as ONE device program (lax.scan), K chosen so no block ever crosses
+        # a report/save/validation boundary — the observable behavior (and
+        # the parameter trajectory, exact-RNG) is identical to single
+        # stepping. Distinct K values compile separate (cached) programs;
+        # with the usual freq settings only block_steps and one remainder
+        # size ever occur.
+        block = max(1, int(self.tcfg.block_steps))
+        multi_fns = {}
+
+        def step_block(k_steps, image_perm):
+            idxs = []
+            t = self.iter_step
+            for _ in range(k_steps):
+                idxs.append(int(image_perm[t % len(image_perm)]))
+                t += 1
+                if t % len(image_perm) == 0:
+                    image_perm = rng.permutation(self.dataset.n_images)
+            if k_steps == 1:
+                out = self._step_fn(
+                    self.params, self.opt_state, self._data,
+                    jnp.asarray(idxs[0]),
+                    jax.random.fold_in(key, self.iter_step),
+                    jnp.asarray(self.iter_step))
+            else:
+                if k_steps not in multi_fns:
+                    _, multi_fns[k_steps] = stage1.make_train_step(
+                        self.cfg, self.tcfg, mesh=self.mesh,
+                        convention=self.dataset.convention,
+                        mask_ones=self.dataset.mask_ones,
+                        roi_prob=float(getattr(self.dataset,
+                                               "sample_roi_prob", 0.0)),
+                        k_steps=k_steps)
+                out = multi_fns[k_steps](
+                    self.params, self.opt_state, self._data,
+                    jnp.asarray(idxs), key, jnp.asarray(self.iter_step))
+            self.params, self.opt_state, metrics = out
+            self.iter_step += k_steps
+            self.meter.step(self.tcfg.batch_size * k_steps)
+            return metrics, image_perm
+
+        freqs = [f for f in (self.tcfg.report_freq, self.tcfg.save_freq,
+                             self.tcfg.val_freq, self.tcfg.val_mesh_freq)
+                 if f and f > 0]
+
+        while self.iter_step < self.tcfg.end_iter:
+            K = min(block, self.tcfg.end_iter - self.iter_step,
+                    *(f - self.iter_step % f for f in freqs))
+            metrics, image_perm = step_block(K, image_perm)
 
             if self.iter_step % self.tcfg.report_freq == 0:
-                m = {k_: float(v) for k_, v in metrics.items()}
+                # block mode stacks metrics along a leading [K] axis;
+                # report the boundary step's values (the last sub-step)
+                m = {k_: float(np.ravel(v)[-1])
+                     for k_, v in metrics.items()}
                 self.writer.scalars(
                     {"Loss/loss": m["loss"], "Loss/color_loss": m["color_loss"],
                      "Loss/eikonal_loss": m["eikonal_loss"],
@@ -148,8 +191,9 @@ class Runner:
                     self.validate_mesh_shiny()
                 else:
                     self.validate_mesh(world_space=False)
-            if self.iter_step % len(image_perm) == 0:
-                image_perm = rng.permutation(self.dataset.n_images)
+            # NOTE: the image-perm rotation lives inside step_block (it can
+            # fall mid-block); same rng stream as the reference's epoch
+            # reshuffle (ref:exp_runner.py:220-221)
 
     # -- checkpointing ------------------------------------------------------
 

@@ -31,13 +31,26 @@ from .common import TrainConfig, make_optimizer
 def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
                     mesh: Optional[Mesh] = None,
                     convention: str = "c2w", mask_ones: bool = False,
-                    roi_prob: float = 0.0):
+                    roi_prob: float = 0.0, k_steps: int = 1):
     """Returns (init_opt_state, step_fn) where
     step_fn(params, opt_state, data, img_idx, key, step) ->
         (params, opt_state, metrics).
 
     data: dict(images, masks, intr_inv, poses [+ convention flags]) resident
     on device.
+
+    k_steps > 1 compiles a MULTI-STEP program: one lax.scan over k_steps
+    optimizer steps per device launch, amortizing the fixed per-program
+    dispatch cost the device profile shows (~1.3 ms/step wall-vs-device gap
+    on the tunneled v5e, BENCHMARKS.md round-3 profile).  The signature
+    changes to step_fn(params, opt_state, data, img_idxs [k_steps], key,
+    step0) and metrics leaves gain a leading [k_steps] axis (all per-step
+    values still observable).  Sub-step i uses fold_in(key, step0 + i) on
+    the UNFOLDED base key and step = step0 + i, so a K-step block follows
+    the exact same parameter trajectory as K single steps whose caller
+    folds the base key by absolute step (pinned by
+    tests/test_train.py::test_multi_step_matches_singles); the optimizer's
+    schedule advances per sub-step identically.
     """
     tx = make_optimizer(tcfg, stage=1)
     n_dev = 1 if mesh is None else mesh.devices.size
@@ -87,6 +100,22 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
+
+    if k_steps > 1:
+        single = step_fn
+
+        def step_fn(params, opt_state, data, img_idxs, key, step0):
+            def body(carry, x):
+                p, o = carry
+                i, idx = x
+                p, o, m = single(p, o, data, idx,
+                                 jax.random.fold_in(key, step0 + i),
+                                 step0 + i)
+                return (p, o), m
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state),
+                (jnp.arange(k_steps), img_idxs))
+            return params, opt_state, metrics
 
     if mesh is None:
         jitted = jax.jit(step_fn, donate_argnums=(0, 1))

@@ -221,3 +221,36 @@ def test_render_fns_sharded_match_single(scene):
             assert np.isfinite(np.asarray(v)).all(), k
         for k in dropped:
             assert k not in out
+
+
+def test_multi_step_matches_singles(scene):
+    """A k_steps block (one lax.scan program) follows the exact same
+    parameter trajectory as k single steps whose keys are folded by
+    absolute step — the contract runner1's block mode relies on."""
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=32, end_iter=100, warm_up_end=0,
+                       learning_rate=5e-4, anneal_end=0.0)
+    K = 4
+    key = jax.random.PRNGKey(7)
+    idxs = [0, 1, 1, 0]
+
+    p1 = tiny_params(cfg)
+    opt_init, single = stage1.make_train_step(cfg, tcfg, mesh=None)
+    o1 = opt_init(p1)
+    metrics_single = []
+    for it in range(K):
+        p1, o1, m = single(p1, o1, scene, jnp.asarray(idxs[it]),
+                           jax.random.fold_in(key, it), jnp.asarray(it))
+        metrics_single.append(float(m["loss"]))
+
+    p2 = tiny_params(cfg)
+    _, multi = stage1.make_train_step(cfg, tcfg, mesh=None, k_steps=K)
+    o2 = opt_init(p2)
+    p2, o2, ms = multi(p2, o2, scene, jnp.asarray(idxs), key,
+                       jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(ms["loss"]),
+                               np.asarray(metrics_single), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
