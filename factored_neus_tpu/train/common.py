@@ -98,6 +98,50 @@ class TrainConfig:
         return cls(**base)
 
 
+def multi_step_wrapper(single_step, k_steps: int):
+    """Wrap a single-step fn (params, opt_state, data, img_idx, key, step)
+    into a k-step lax.scan program taking (params, opt_state, data,
+    img_idxs [k], base_key, step0).  Sub-step i folds the base key by the
+    ABSOLUTE step (step0 + i), so the block follows the exact trajectory of
+    k single steps whose caller folds by absolute step; metrics leaves gain
+    a leading [k] axis.  Shared by the three stage factories."""
+    def step_fn(params, opt_state, data, img_idxs, key, step0):
+        def body(carry, x):
+            p, o = carry
+            i, idx = x
+            p, o, m = single_step(p, o, data, idx,
+                                  jax.random.fold_in(key, step0 + i),
+                                  step0 + i)
+            return (p, o), m
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state),
+            (jnp.arange(k_steps), img_idxs))
+        return params, opt_state, metrics
+    return step_fn
+
+
+def plan_block(iter_step: int, end_iter: int, block: int, freqs,
+               image_perm, rng, n_images: int):
+    """Host-side block planning: (K, idxs, image_perm').
+
+    K is the largest block <= `block` that does not cross the end of
+    training or any multiple of the event frequencies (report/save/
+    validation), so every observable side effect fires at the exact same
+    iterations as single stepping.  idxs are the K image indices, rotating
+    the permutation at epoch boundaries with the caller's rng — the same
+    stream the single-step loop uses (ref:exp_runner.py:220-221)."""
+    fs = [f for f in freqs if f and f > 0]
+    K = min([max(1, block), end_iter - iter_step]
+            + [f - iter_step % f for f in fs])
+    idxs, t, perm = [], iter_step, image_perm
+    for _ in range(K):
+        idxs.append(int(perm[t % len(perm)]))
+        t += 1
+        if t % len(perm) == 0:
+            perm = rng.permutation(n_images)
+    return K, idxs, perm
+
+
 def val_chunk_size(tcfg: TrainConfig, mesh=None) -> int:
     """Validation/inference ray-chunk size: at least batch_size, and when a
     device mesh is active, rounded UP to a multiple of the device count —

@@ -27,7 +27,8 @@ from ..utils import checkpoints as CK
 from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage1
-from .common import TrainConfig, init_all_params, val_chunk_size
+from .common import (TrainConfig, init_all_params, plan_block,
+                     val_chunk_size)
 
 # checkpoint group names, matching ref:exp_runner.py:266-278
 CKPT_KEYS = {
@@ -119,45 +120,37 @@ class Runner:
         block = max(1, int(self.tcfg.block_steps))
         multi_fns = {}
 
-        def step_block(k_steps, image_perm):
-            idxs = []
-            t = self.iter_step
-            for _ in range(k_steps):
-                idxs.append(int(image_perm[t % len(image_perm)]))
-                t += 1
-                if t % len(image_perm) == 0:
-                    image_perm = rng.permutation(self.dataset.n_images)
-            if k_steps == 1:
+        def make_multi(k_steps):
+            return stage1.make_train_step(
+                self.cfg, self.tcfg, mesh=self.mesh,
+                convention=self.dataset.convention,
+                mask_ones=self.dataset.mask_ones,
+                roi_prob=float(getattr(self.dataset,
+                                       "sample_roi_prob", 0.0)),
+                k_steps=k_steps)[1]
+
+        freqs = (self.tcfg.report_freq, self.tcfg.save_freq,
+                 self.tcfg.val_freq, self.tcfg.val_mesh_freq)
+
+        while self.iter_step < self.tcfg.end_iter:
+            K, idxs, image_perm = plan_block(
+                self.iter_step, self.tcfg.end_iter, block, freqs,
+                image_perm, rng, self.dataset.n_images)
+            if K == 1:
                 out = self._step_fn(
                     self.params, self.opt_state, self._data,
                     jnp.asarray(idxs[0]),
                     jax.random.fold_in(key, self.iter_step),
                     jnp.asarray(self.iter_step))
             else:
-                if k_steps not in multi_fns:
-                    _, multi_fns[k_steps] = stage1.make_train_step(
-                        self.cfg, self.tcfg, mesh=self.mesh,
-                        convention=self.dataset.convention,
-                        mask_ones=self.dataset.mask_ones,
-                        roi_prob=float(getattr(self.dataset,
-                                               "sample_roi_prob", 0.0)),
-                        k_steps=k_steps)
-                out = multi_fns[k_steps](
+                if K not in multi_fns:
+                    multi_fns[K] = make_multi(K)
+                out = multi_fns[K](
                     self.params, self.opt_state, self._data,
                     jnp.asarray(idxs), key, jnp.asarray(self.iter_step))
             self.params, self.opt_state, metrics = out
-            self.iter_step += k_steps
-            self.meter.step(self.tcfg.batch_size * k_steps)
-            return metrics, image_perm
-
-        freqs = [f for f in (self.tcfg.report_freq, self.tcfg.save_freq,
-                             self.tcfg.val_freq, self.tcfg.val_mesh_freq)
-                 if f and f > 0]
-
-        while self.iter_step < self.tcfg.end_iter:
-            K = min(block, self.tcfg.end_iter - self.iter_step,
-                    *(f - self.iter_step % f for f in freqs))
-            metrics, image_perm = step_block(K, image_perm)
+            self.iter_step += K
+            self.meter.step(self.tcfg.batch_size * K)
 
             if self.iter_step % self.tcfg.report_freq == 0:
                 # block mode stacks metrics along a leading [K] axis;

@@ -24,7 +24,8 @@ from ..utils import checkpoints as CK
 from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage2
-from .common import TrainConfig, init_all_params, val_chunk_size
+from .common import (TrainConfig, init_all_params, plan_block,
+                     val_chunk_size)
 from .runner1 import CKPT_KEYS
 
 STAGE2_KEYS = dict(CKPT_KEYS, lvis="lvis_network", indirect="indiLgt_network")
@@ -124,17 +125,40 @@ class Runner:
         image_perm = rng.permutation(self.dataset.n_images)
         key = jax.random.PRNGKey(self.iter_step + 2)
         self.meter.start()
-        res_step = self.tcfg.end_iter - self.iter_step
-        for _ in range(res_step):
-            img_idx = int(image_perm[self.iter_step % len(image_perm)])
-            k = jax.random.fold_in(key, self.iter_step)
-            self.params, self.opt_state, metrics = self._step_fn(
-                self.params, self.opt_state, self._data,
-                jnp.asarray(img_idx), k, jnp.asarray(self.iter_step))
-            self.iter_step += 1
-            self.meter.step(self.tcfg.batch_size)
+        # multi-step blocking (train.block_steps): see runner1.train — K
+        # steps per device program, blocks never cross event boundaries
+        block = max(1, int(self.tcfg.block_steps))
+        multi_fns = {}
+        freqs = (self.tcfg.report_freq, self.tcfg.save_freq,
+                 self.tcfg.val_freq)
+        while self.iter_step < self.tcfg.end_iter:
+            K, idxs, image_perm = plan_block(
+                self.iter_step, self.tcfg.end_iter, block, freqs,
+                image_perm, rng, self.dataset.n_images)
+            if K == 1:
+                out = self._step_fn(
+                    self.params, self.opt_state, self._data,
+                    jnp.asarray(idxs[0]),
+                    jax.random.fold_in(key, self.iter_step),
+                    jnp.asarray(self.iter_step))
+            else:
+                if K not in multi_fns:
+                    multi_fns[K] = stage2.make_train_step(
+                        self.cfg, self.tcfg, mesh=self.mesh,
+                        convention=self.dataset.convention,
+                        mask_ones=self.dataset.mask_ones,
+                        roi_prob=float(getattr(self.dataset,
+                                               "sample_roi_prob", 0.0)),
+                        k_steps=K)[1]
+                out = multi_fns[K](
+                    self.params, self.opt_state, self._data,
+                    jnp.asarray(idxs), key, jnp.asarray(self.iter_step))
+            self.params, self.opt_state, metrics = out
+            self.iter_step += K
+            self.meter.step(self.tcfg.batch_size * K)
             if self.iter_step % self.tcfg.report_freq == 0:
-                m = {k_: float(v) for k_, v in metrics.items()}
+                m = {k_: float(np.ravel(v)[-1])
+                     for k_, v in metrics.items()}
                 writer.scalars({"Loss/loss": m["lvis_loss"],
                                 "Loss/trace_radiance": m["trace_radiance_loss"],
                                 "Perf/rays_per_sec": self.meter.rays_per_sec},
@@ -146,8 +170,7 @@ class Runner:
                 self.save_checkpoint()
             if self.iter_step % self.tcfg.val_freq == 0:
                 self.validate_image()
-            if self.iter_step % len(image_perm) == 0:
-                image_perm = rng.permutation(self.dataset.n_images)
+            # image-perm rotation handled inside plan_block
 
     # -- validation (ref:lvis.py:347-411) ------------------------------------
 

@@ -25,7 +25,7 @@ from ..models import renderer as R
 from ..parallel import sharding as SH
 from ..utils import schedule
 from . import losses as L
-from .common import TrainConfig, make_optimizer
+from .common import TrainConfig, make_optimizer, multi_step_wrapper
 
 
 def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
@@ -102,20 +102,7 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
         return params, opt_state, metrics
 
     if k_steps > 1:
-        single = step_fn
-
-        def step_fn(params, opt_state, data, img_idxs, key, step0):
-            def body(carry, x):
-                p, o = carry
-                i, idx = x
-                p, o, m = single(p, o, data, idx,
-                                 jax.random.fold_in(key, step0 + i),
-                                 step0 + i)
-                return (p, o), m
-            (params, opt_state), metrics = jax.lax.scan(
-                body, (params, opt_state),
-                (jnp.arange(k_steps), img_idxs))
-            return params, opt_state, metrics
+        step_fn = multi_step_wrapper(step_fn, k_steps)
 
     if mesh is None:
         jitted = jax.jit(step_fn, donate_argnums=(0, 1))

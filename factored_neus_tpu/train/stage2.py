@@ -19,13 +19,16 @@ from ..data import rays as RAYS
 from ..models import renderer as R
 from ..parallel import sharding as SH
 from . import losses as L
-from .common import TrainConfig, make_optimizer
+from .common import TrainConfig, make_optimizer, multi_step_wrapper
 
 
 def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
                     mesh: Optional[Mesh] = None,
                     convention: str = "c2w", mask_ones: bool = False,
-                    roi_prob: float = 0.0):
+                    roi_prob: float = 0.0, k_steps: int = 1):
+    """k_steps > 1: one lax.scan of k optimizer steps per device program
+    (see stage1.make_train_step / common.multi_step_wrapper — same
+    signature change and exact-trajectory semantics)."""
     tx = make_optimizer(tcfg, stage=2)
     n_dev = 1 if mesh is None else mesh.devices.size
     local_batch = tcfg.batch_size // n_dev
@@ -53,6 +56,9 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
+
+    if k_steps > 1:
+        step_fn = multi_step_wrapper(step_fn, k_steps)
 
     if mesh is None:
         return tx.init, jax.jit(step_fn, donate_argnums=(0, 1))

@@ -66,7 +66,18 @@ def test_cli_profile_flag_plumbs(cli, monkeypatch, tmp_path):
     point (VERDICT r2 item 5): stub the Runner, run main(), assert the trace
     dir is created and populated."""
     import importlib
-    mod = importlib.import_module(cli)
+    import sys
+    # the torch-parity suite puts /root/reference on sys.path (ref_compat),
+    # whose exp_runner/lvis/mateIllu shadow OUR root CLIs by name — make
+    # sure we import the repo's own entry points
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mod = sys.modules.get(cli)
+    if mod is None or not os.path.abspath(
+            getattr(mod, "__file__", "")).startswith(repo):
+        sys.modules.pop(cli, None)
+        sys.path.insert(0, repo)
+        mod = importlib.import_module(cli)
+        assert os.path.abspath(mod.__file__).startswith(repo)
 
     class StubRunner:
         def __init__(self, *a, **k):

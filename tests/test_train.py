@@ -254,3 +254,62 @@ def test_multi_step_matches_singles(scene):
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mod", [stage2, stage3])
+def test_multi_step_matches_singles_stage23(scene, mod):
+    """Stages 2/3 share the multi-step contract (common.multi_step_wrapper):
+    a K-block equals K absolute-step-folded single steps."""
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=16, end_iter=100, warm_up_end=0,
+                       learning_rate=5e-4, anneal_end=0.0)
+    K = 3
+    key = jax.random.PRNGKey(11)
+    idxs = [1, 0, 1]
+
+    p1 = tiny_params(cfg)
+    opt_init, single = mod.make_train_step(cfg, tcfg, mesh=None)
+    o1 = opt_init(p1)
+    for it in range(K):
+        p1, o1, _ = single(p1, o1, scene, jnp.asarray(idxs[it]),
+                           jax.random.fold_in(key, it), jnp.asarray(it))
+
+    p2 = tiny_params(cfg)
+    _, multi = mod.make_train_step(cfg, tcfg, mesh=None, k_steps=K)
+    o2 = opt_init(p2)
+    p2, o2, ms = multi(p2, o2, scene, jnp.asarray(idxs), key,
+                       jnp.asarray(0))
+    assert all(np.asarray(v).shape[0] == K for v in
+               jax.tree_util.tree_leaves(ms))
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_plan_block():
+    from factored_neus_tpu.train.common import plan_block
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(5)
+    # blocks stop exactly at event boundaries
+    K, idxs, _ = plan_block(96, 1000, 8, (100, 0, 2500), perm, rng, 5)
+    assert K == 4 and len(idxs) == 4
+    # and at end_iter
+    K, _, _ = plan_block(998, 1000, 8, (100,), perm, rng, 5)
+    assert K == 2
+    # permutation rotates mid-block with the caller's rng, matching the
+    # single-step loop's sequence
+    rng1 = np.random.RandomState(3)
+    perm1 = rng1.permutation(3)
+    seq_single, t, p = [], 0, perm1
+    for _ in range(7):
+        seq_single.append(int(p[t % 3])); t += 1
+        if t % 3 == 0:
+            p = rng1.permutation(3)
+    rng2 = np.random.RandomState(3)
+    perm2 = rng2.permutation(3)
+    seq_block, t = [], 0
+    while t < 7:
+        K, idxs, perm2 = plan_block(t, 7, 4, (), perm2, rng2, 3)
+        seq_block += idxs; t += K
+    assert seq_block == seq_single
