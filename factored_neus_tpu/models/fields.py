@@ -374,6 +374,45 @@ def lvis_apply(params, cfg: LvisConfig, pts, view,
                        act_dtype=act_dtype)
 
 
+def lvis_apply_outer(params, cfg: LvisConfig, pts, dirs,
+                     act_dtype=None) -> jnp.ndarray:
+    """Visibility for EVERY (dir, point) pair: [D, P].
+
+    Factorized evaluation for the stage-3 MC visibility sweeps, where each
+    of D directions is shared by all P points (materials.py
+    get_diffuse_visibility: D = n_lobe*nsamp = 4096, P = 512 => 2.1M
+    pairs). The flat path pays PE sin/cos and the first dense layer on
+    all D*P rows (the profiled 6.1 ms of `multiply_sine` fusions,
+    BENCHMARKS.md round-3 stage-3 profile) plus materialized [D*P,3]
+    input broadcasts; here PE and the split first-layer matmuls run on
+    the two SMALL factors and combine by a broadcast add — layers 2..n
+    see the same [D*P, H] tensor either way. Same math up to f32
+    summation order of the two first-layer partial products
+    (tests/test_fields.py pins agreement with the flat path)."""
+    pe_p = positional_encoding(pts, cfg.multires_pts)       # [P, dp]
+    pe_d = positional_encoding(dirs, cfg.multires_view)     # [D, dd]
+    dp = pe_p.shape[-1]
+    w1, b1 = params[0]["w"], params[0]["b"]
+    a_p = jnp.dot(pe_p, w1[:dp], precision=M.MATMUL_PRECISION,
+                  preferred_element_type=jnp.float32)       # [P, H]
+    a_d = jnp.dot(pe_d, w1[dp:], precision=M.MATMUL_PRECISION,
+                  preferred_element_type=jnp.float32)       # [D, H]
+    x = jax.nn.relu(a_d[:, None, :] + a_p[None, :, :] + b1)  # [D, P, H]
+    if act_dtype is not None:
+        x = x.astype(act_dtype)
+    x = x.reshape(-1, x.shape[-1])                          # free: row-major
+    n = len(params)
+    for i in range(1, n):
+        p = params[i]
+        x = M.dense_apply(p, x) if act_dtype is None \
+            else M.dense_apply_act(p, x, act_dtype)
+        if i < n - 1:
+            x = jax.nn.relu(x)
+            if act_dtype is not None:
+                x = x.astype(act_dtype)
+    return jax.nn.sigmoid(x).reshape(pe_d.shape[0], pts.shape[0])
+
+
 # ---------------------------------------------------------------------------
 # IndirectLight — per-point SG mixture field
 # ---------------------------------------------------------------------------

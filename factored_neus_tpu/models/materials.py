@@ -28,6 +28,7 @@ from ..ops import math as U
 from ..ops import mlp as M
 from ..ops import sg as SG
 from ..ops.embedder import positional_encoding
+from . import fields as F
 from .fields import LvisConfig, lvis_apply
 
 TINY = 1e-6
@@ -62,17 +63,17 @@ def get_diffuse_visibility(key, points, normals, lvis_params,
     sample_dir = SG.sample_dirs(light_dirs, r_theta, r_phi, x_ref_axis=2)
     sample_dir_flat = sample_dir.reshape(-1, 3)                     # [M*S,3]
 
-    input_dir = jnp.broadcast_to(sample_dir_flat[None], (n_points, n_lobe * nsamp, 3))
-    input_p = jnp.broadcast_to(points[:, None], (n_points, n_lobe * nsamp, 3))
-    nrm = jnp.broadcast_to(normals[:, None], (n_points, n_lobe * nsamp, 3))
-    cos_term = jnp.sum(nrm * input_dir, axis=-1) > TINY
-
-    pred = lvis_apply(lvis_params, lvis_cfg,
-                      input_p.reshape(-1, 3), input_dir.reshape(-1, 3),
-                      act_dtype=act_dtype)
-    pred = pred.reshape(n_points, n_lobe * nsamp)
+    # factorized outer evaluation: every direction is shared by all points,
+    # so PE + first layer run on the [M*S] and [P] factors instead of the
+    # 2.1M-row product (see fields.lvis_apply_outer); the cosine mask is an
+    # outer product too — no [P, M*S, 3] broadcasts materialize, and the
+    # result lands directly in the [M,S,P] layout (no transpose)
+    pred = F.lvis_apply_outer(lvis_params, lvis_cfg, points,
+                              sample_dir_flat,
+                              act_dtype=act_dtype)                  # [M*S,P]
+    cos_term = jnp.dot(sample_dir_flat, normals.T) > TINY           # [M*S,P]
     vis = jnp.where(cos_term, pred, 0.0)
-    vis = vis.reshape(n_points, n_lobe, nsamp).transpose(1, 2, 0)   # [M,S,P]
+    vis = vis.reshape(n_lobe, nsamp, n_points)                      # [M,S,P]
 
     weight = jnp.exp(lambdas * (jnp.sum(sample_dir * light_dirs, -1,
                                         keepdims=True) - 1.0))      # [M,S,1]

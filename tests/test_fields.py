@@ -248,3 +248,23 @@ def test_specular_visibility_degenerate_rows_use_best_sample():
     v = np.asarray(vis)
     assert abs(v[0] - 0.9) < 1e-4           # degenerate row -> best sample
     assert 0.0 < v[1] < 0.9                 # healthy row -> true average
+
+
+def test_lvis_apply_outer_matches_flat():
+    """The factorized outer Lvis evaluation (stage-3 MC sweep fast path)
+    equals the flat per-pair path up to f32 partial-sum order."""
+    import jax
+    import jax.numpy as jnp
+    cfg = F.LvisConfig()
+    params = F.lvis_init(jax.random.PRNGKey(0), cfg)
+    P, D = 7, 11
+    pts = jax.random.normal(jax.random.PRNGKey(1), (P, 3)) * 0.4
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (D, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    outer = F.lvis_apply_outer(params, cfg, pts, dirs)          # [D, P]
+    flat_p = jnp.broadcast_to(pts[None], (D, P, 3)).reshape(-1, 3)
+    flat_d = jnp.broadcast_to(dirs[:, None], (D, P, 3)).reshape(-1, 3)
+    flat = F.lvis_apply(params, cfg, flat_p, flat_d).reshape(D, P)
+    np.testing.assert_allclose(np.asarray(outer), np.asarray(flat),
+                               rtol=2e-5, atol=2e-6)

@@ -122,6 +122,14 @@ def device_lane_events(trace: dict):
     return dev
 
 
+def _is_container(name: str) -> bool:
+    """Control-flow span ops (while/call/conditional) whose child ops are
+    ALSO emitted as separate events on the same lane — counting both
+    double-counts the children (a lax.map sweep shows up as one big
+    `while.N` span plus its per-chunk fusions)."""
+    return name.split(".")[0] in ("while", "call", "conditional")
+
+
 def summarize(dev_events, steps: int, topk: int):
     agg = collections.defaultdict(lambda: [0.0, 0])
     total_us = 0.0
@@ -129,14 +137,17 @@ def summarize(dev_events, steps: int, topk: int):
         a = agg[e["name"]]
         a[0] += e["dur"]
         a[1] += 1
-        total_us += e["dur"]
+        if not _is_container(e["name"]):
+            total_us += e["dur"]
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:topk]
     print(f"device time: {total_us / steps / 1e3:.2f} ms/step "
-          f"({len(agg)} distinct ops, {steps} steps)")
+          f"({len(agg)} distinct ops, {steps} steps; control-flow spans "
+          f"excluded from the total, marked [span] below)")
     print("| op | ms/step | % dev | calls/step |")
     print("|---|---|---|---|")
     for name, (us, cnt) in rows:
-        print(f"| `{name[:80]}` | {us / steps / 1e3:.3f} "
+        tag = " [span]" if _is_container(name) else ""
+        print(f"| `{name[:80]}`{tag} | {us / steps / 1e3:.3f} "
               f"| {100.0 * us / total_us:.1f}% | {cnt / steps:.1f} |")
     return total_us
 
