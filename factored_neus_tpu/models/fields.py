@@ -117,6 +117,31 @@ def sdf_value(params, cfg: SDFConfig, x: jnp.ndarray) -> jnp.ndarray:
     return sdf_apply(params, cfg, x)[:, 0]
 
 
+def _sdf_params_value_only(params):
+    """Last layer narrowed to the sdf column (output 0).
+
+    The no-grad sampling sweeps discard the feature columns, so slicing the
+    final [256,257] matmul to [256,1] removes the sweep's last-layer MXU
+    work exactly: weight-norm normalizes per OUTPUT column, so the sliced
+    column computes mathematically identical sdf values (the narrower dot
+    may reassociate the accumulation — a last-ulp effect only).
+    """
+    last = params[-1]
+    sliced = {k: (a[:, :1] if a.ndim == 2 else a[:1])
+              for k, a in last.items()}
+    return list(params[:-1]) + [sliced]
+
+
+def sdf_value_sweep(params, cfg: SDFConfig, x: jnp.ndarray,
+                    act_dtype=None) -> jnp.ndarray:
+    """sdf-only forward for sampling sweeps: same math as ``sdf_value`` with
+    the last layer narrowed to the sdf column (exact up to dot reassociation,
+    ~1/8 fewer sweep FLOPs at the reference widths).  XLA does not push the
+    output slice through the concat+dot on its own (measured)."""
+    return sdf_apply(_sdf_params_value_only(params), cfg, x,
+                     act_dtype=act_dtype)[:, 0]
+
+
 def sdf_gradient(params, cfg: SDFConfig, x: jnp.ndarray) -> jnp.ndarray:
     """∂sdf/∂x, [N,3].  Differentiable (double backprop for eikonal works
     through jax.grad-of-jax.grad).  ref:fields.py:100-111."""

@@ -69,6 +69,11 @@ class RendererConfig:
     # only steer importance-sample placement, same deviation class as the
     # validated bf16 MXU default
     sweep_act_bf16: bool = True
+    # share ONE vjp-based SDF sweep between the two stage-2 fine-sample
+    # passes (NeuS occlusion weights + first-hit radiance evaluate the SAME
+    # points; ~4 MLP passes -> ~2). Equivalence-tested vs the split path
+    # (tests/test_renderer.py); flag kept for A/B ablation.
+    fused_fine_sweep: bool = True
     # store the DIFFERENTIABLE core's activations + vjp residuals in bf16:
     # +8.7% stage-1 step, quality-validated at full architecture (2k-iter
     # sphere convergence: PSNR/chamfer statistically identical to f32 —
@@ -110,10 +115,11 @@ def _sdf_fwd_sampling(params, cfg, bf16_act: bool = False):
             params["sdf"], cfg.sdf, jax.lax.stop_gradient(p),
             bf16_matmul=True)
     if bf16_act and cfg.sweep_act_bf16:
-        return lambda p: F.sdf_apply(
+        return lambda p: F.sdf_value_sweep(
             params["sdf"], cfg.sdf, jax.lax.stop_gradient(p),
-            act_dtype=jnp.bfloat16)[:, 0]
-    return _sdf_fwd(params, cfg)
+            act_dtype=jnp.bfloat16)
+    return lambda p: F.sdf_value_sweep(
+        params["sdf"], cfg.sdf, jax.lax.stop_gradient(p))
 
 
 def _sdf_full(params, cfg):
@@ -130,6 +136,12 @@ def _use_pallas_geometry(cfg) -> bool:
 
 def _sdf_grad(params, cfg):
     return lambda p: F.sdf_gradient(params["sdf"], cfg.sdf, p)
+
+
+def _sdf_vgf(params, cfg):
+    """pts -> (sdf, feature, grad) from one vjp-shared forward, for the
+    merged stage-2 fine sweep (secondary.fine_sweep_targets)."""
+    return lambda p: F.sdf_value_and_grad_feat(params["sdf"], cfg.sdf, p)
 
 
 def _color_fn(params, cfg):
@@ -418,7 +430,10 @@ def _stage23_util(params, cfg: RendererConfig, rays_o, rays_d, near, far):
          jnp.full((B, 1), sample_dist, z_vals.dtype)], -1)
     mid_z = z_vals + dists * 0.5
     pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., :, None]
-    sdf = F.sdf_value(params["sdf"], cfg.sdf, pts.reshape(-1, 3)).reshape(B, T)
+    # value-only narrowed sweep: this sdf only drives surface localization
+    # (pts_surf is stop_gradient'd by both stage-2/3 callers)
+    sdf = F.sdf_value_sweep(params["sdf"], cfg.sdf,
+                            pts.reshape(-1, 3)).reshape(B, T)
     inside = (jnp.linalg.norm(pts, axis=-1) < 1.0)
     inside_mask = jnp.sum(inside, axis=-1) > 0.0
     return mid_z, sdf, inside_mask
@@ -448,10 +463,11 @@ def lvis_render(params, cfg: RendererConfig, rays_o, rays_d, near, far,
         lambda p, d: F.lvis_apply(params["lvis"], cfg.lvis, p, d),
         lambda p: F.indirect_light_apply(params["indirect"], cfg.indirect, p),
         chunk=cfg.secondary_chunk,
-        sdf_fwd_coarse=_sdf_fwd_sampling(params, cfg, bf16_act=True))
+        sdf_fwd_coarse=_sdf_fwd_sampling(params, cfg, bf16_act=True),
+        sdf_vgf=(_sdf_vgf(params, cfg) if cfg.fused_fine_sweep else None))
     # NOTE: a fused (sdf+grad) Pallas forward for the weight sweep measured
-    # SLOWER (15.6k vs 16.8k rays/s) and was removed; ledger:
-    # BENCHMARKS.md "measured but rejected".
+    # SLOWER (15.6k vs 16.8k rays/s) and was removed; the XLA vjp-shared
+    # fine sweep (fused_fine_sweep) replaced it; ledger: BENCHMARKS.md.
 
     m1 = sdf_mask[:, None]
     m2 = sdf_mask[:, None, None]

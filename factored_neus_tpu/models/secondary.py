@@ -24,7 +24,7 @@ import numpy as np
 
 from ..ops import sampling as S
 from ..ops import sg as SG
-from ..ops.chunk import chunked_apply
+from ..ops.chunk import chunked_apply, chunked_apply_tree
 
 # secondary-ray sampling budget (matches ref:calLvis.py:340,364,378)
 N_HEMI_DIRS = 4
@@ -136,10 +136,58 @@ def cal_fir_hit_rgb(sdf_apply_full, sdf_grad, color_fn, rays_o, rays_d,
     return rgb, hit_mask
 
 
+def fine_sweep_targets(sdf_vgf, color_fn, inv_s, rays_o, rays_d, z_vals,
+                       chunk: int = 65536):
+    """Both stage-2 fine-sweep targets from ONE shared SDF sweep.
+
+    ``compute_weight`` and ``cal_fir_hit_rgb`` evaluate the SDF at the SAME
+    fine mid-points (2 forwards + 1 jax.grad ~= 4 MLP passes over the
+    [B*T] points); this computes (sdf, grad) once through the vjp-shared
+    forward (~2 passes) and reuses the values for both the NeuS occlusion
+    weights (ref:calLvis.py:93-150) and the first-hit radiance
+    (ref:calLvis.py:153-204) — identical formulas, one sweep.  The surface
+    re-evaluation also collapses to one vjp call (grad+feature together).
+
+    sdf_vgf: pts[N,3] -> (sdf[N], feat[N,F], grad[N,3]).  All outputs are
+    stop_gradient'd (they are distillation targets).
+    Returns (rgb [B,3], hit_mask [B], weights [B,T], weights_inside [B,T]).
+    """
+    B, T = z_vals.shape
+    dists, mid_z, pts, dirs = _section_geometry(rays_o, rays_d, z_vals,
+                                                SECONDARY_SAMPLE_DIST)
+    pts_flat = pts.reshape(-1, 3)
+    sdf_f, _, grads_f = jax.lax.stop_gradient(
+        chunked_apply_tree(lambda p: sdf_vgf(p), pts_flat, chunk))
+    sdf = sdf_f.reshape(B, T)
+    grads = grads_f.reshape(B, T, 3)
+
+    # --- NeuS weights along the secondary ray (compute_weight formulas) ---
+    true_cos = jnp.sum(dirs * grads, -1)
+    iter_cos = -jax.nn.relu(-true_cos * 0.5 + 0.5)    # cos_anneal_ratio = 0
+    est_next = sdf + iter_cos * dists * 0.5
+    est_prev = sdf - iter_cos * dists * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5),
+                     0.0, 1.0)
+    inside = jnp.linalg.norm(pts, axis=-1) < 1.0
+    weights = S.alpha_to_weights(alpha)
+    weights_inside = weights * inside.astype(z_vals.dtype)
+
+    # --- first-hit radiance (cal_fir_hit_rgb formulas) ---
+    inside_mask = jnp.sum(inside, axis=-1) > 0
+    pts_surf, _, hit_mask = surface_localize(mid_z, sdf, rays_o, rays_d,
+                                             inside_mask)
+    _, f_surf, n_surf = jax.lax.stop_gradient(sdf_vgf(pts_surf))
+    rgb_surf = color_fn(pts_surf, n_surf, rays_d, f_surf)
+    rgb = jnp.where(hit_mask[:, None], rgb_surf, 0.0)
+    return (jax.lax.stop_gradient(rgb), hit_mask, weights, weights_inside)
+
+
 def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
                  inv_s, color_fn, lvis_fn, indirect_fn,
                  chunk: int = 131072,
-                 sdf_fwd_coarse=None) -> Dict[str, jnp.ndarray]:
+                 sdf_fwd_coarse=None, sdf_vgf=None) -> Dict[str, jnp.ndarray]:
     """Distillation targets from M=4 cosine-hemisphere secondary rays per
     surface point. Returns gt/pre lvis [P,4] and trace radiance [P,4,3].
     ref:calLvis.py:339-409.
@@ -148,6 +196,10 @@ def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
     that places the fine samples — a reduced-precision forward is safe
     there; the distillation targets themselves (compute_weight /
     cal_fir_hit_rgb) always go through sdf_fwd.
+
+    sdf_vgf (optional): pts -> (sdf, feat, grad) single-sweep closure; when
+    given, the two fine-sample passes (compute_weight + cal_fir_hit_rgb)
+    collapse into one shared sweep via ``fine_sweep_targets``.
     """
     if sdf_fwd_coarse is None:
         sdf_fwd_coarse = sdf_fwd
@@ -175,10 +227,16 @@ def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
     z_fine = S.up_sample(surf_flat, dirs_flat, z_coarse, coarse_sdf,
                          N_FINE, inv_s)
 
-    trace_radiance, _ = cal_fir_hit_rgb(sdf_apply_full, sdf_grad, color_fn,
-                                        surf_flat, dirs_flat, z_fine, chunk)
-    _, weights_inside = compute_weight(sdf_fwd, sdf_grad, inv_s, surf_flat,
-                                       dirs_flat, z_fine, chunk)
+    if sdf_vgf is not None:
+        trace_radiance, _, _, weights_inside = fine_sweep_targets(
+            sdf_vgf, color_fn, inv_s, surf_flat, dirs_flat, z_fine, chunk)
+    else:
+        trace_radiance, _ = cal_fir_hit_rgb(sdf_apply_full, sdf_grad,
+                                            color_fn, surf_flat, dirs_flat,
+                                            z_fine, chunk)
+        _, weights_inside = compute_weight(sdf_fwd, sdf_grad, inv_s,
+                                           surf_flat, dirs_flat, z_fine,
+                                           chunk)
     occu = jnp.sum(weights_inside, axis=-1)
     gt_lvis = jax.lax.stop_gradient(
         (1.0 - occu).reshape(P, N_HEMI_DIRS))
@@ -199,8 +257,8 @@ def cal_indi_lgt(key, surf, normal, sdf_fwd, sdf_apply_full, sdf_grad,
 
 def compute_light_visibility(key, surf, normal, sdf_fwd, sdf_apply_full,
                              sdf_grad, inv_s, color_fn, lvis_fn, indirect_fn,
-                             n_lights: int = 64, chunk: int = 131072
-                             ) -> Dict[str, jnp.ndarray]:
+                             n_lights: int = 64, chunk: int = 131072,
+                             sdf_vgf=None) -> Dict[str, jnp.ndarray]:
     """Alternative stage-2 target: fixed fibonacci-sphere light directions.
     ref:calLvis.py:207-299 (the commented-out path at ref:renderer.py:608).
 
@@ -229,10 +287,15 @@ def compute_light_visibility(key, surf, normal, sdf_fwd, sdf_apply_full,
 
     z_fine = S.up_sample(surf_flat, dirs_flat, z_coarse, coarse_sdf,
                          N_FINE, inv_s)
-    surf_rgb, _ = cal_fir_hit_rgb(sdf_apply_full, sdf_grad, color_fn,
-                                  surf_flat, dirs_flat, z_fine, chunk)
-    _, weights_inside = compute_weight(sdf_fwd, sdf_grad, inv_s, surf_flat,
-                                       dirs_flat, z_fine, chunk)
+    if sdf_vgf is not None:
+        surf_rgb, _, _, weights_inside = fine_sweep_targets(
+            sdf_vgf, color_fn, inv_s, surf_flat, dirs_flat, z_fine, chunk)
+    else:
+        surf_rgb, _ = cal_fir_hit_rgb(sdf_apply_full, sdf_grad, color_fn,
+                                      surf_flat, dirs_flat, z_fine, chunk)
+        _, weights_inside = compute_weight(sdf_fwd, sdf_grad, inv_s,
+                                           surf_flat, dirs_flat, z_fine,
+                                           chunk)
     occu = jnp.sum(weights_inside, axis=-1).reshape(P, n_lights)
 
     fl = front_lit.astype(surf.dtype)

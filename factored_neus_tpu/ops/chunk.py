@@ -33,3 +33,21 @@ def chunked_apply(fn: Callable, x: jnp.ndarray, chunk_size: int,
     ys = jax.lax.map(fn, xs)
     ys = ys.reshape((num_chunks * chunk_size,) + ys.shape[2:])
     return ys[:n]
+
+
+def chunked_apply_tree(fn: Callable, x: jnp.ndarray, chunk_size: int):
+    """``chunked_apply`` for fns returning a pytree of arrays that share the
+    leading row axis (e.g. the (sdf, feat, grad) triple of
+    ``sdf_value_and_grad_feat``)."""
+    n = x.shape[0]
+    if n <= chunk_size:
+        return fn(x)
+    num_chunks = -(-n // chunk_size)
+    pad = num_chunks * chunk_size - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+    xs = x.reshape((num_chunks, chunk_size) + x.shape[1:])
+    ys = jax.lax.map(fn, xs)
+    unchunk = lambda a: a.reshape((num_chunks * chunk_size,)
+                                  + a.shape[2:])[:n]
+    return jax.tree_util.tree_map(unchunk, ys)

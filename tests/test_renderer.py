@@ -105,6 +105,51 @@ def test_compute_light_visibility_fibonacci():
     np.testing.assert_allclose(g[~front], 0.0, atol=1e-6)
 
 
+def test_fused_fine_sweep_matches_split_path():
+    """fine_sweep_targets (one vjp-shared sweep) == compute_weight +
+    cal_fir_hit_rgb (separate sweeps) on the same fine samples."""
+    cfg = tiny_config()
+    params = tiny_params(cfg)
+    B, T = 6, 12
+    key = jax.random.PRNGKey(7)
+    rays_o = jax.random.normal(key, (B, 3)) * 0.2
+    rays_d = jax.random.normal(jax.random.PRNGKey(8), (B, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    z_vals = jnp.sort(jax.random.uniform(jax.random.PRNGKey(9), (B, T)), -1)
+    inv_s = jnp.clip(F.variance_inv_s(params["variance"]), 1e-6, 1e6)
+
+    sdf_fwd = lambda p: F.sdf_value(params["sdf"], cfg.sdf, p)
+    sdf_full = lambda p: F.sdf_apply(params["sdf"], cfg.sdf, p)
+    sdf_grad = lambda p: F.sdf_gradient(params["sdf"], cfg.sdf, p)
+    sdf_vgf = lambda p: F.sdf_value_and_grad_feat(params["sdf"], cfg.sdf, p)
+    color_fn = lambda pts, n, d, f: F.rendering_apply(
+        params["color"], cfg.rendering, pts, n, d, f)
+
+    w, wi = SEC.compute_weight(sdf_fwd, sdf_grad, inv_s, rays_o, rays_d,
+                               z_vals, chunk=32)
+    rgb, hit = SEC.cal_fir_hit_rgb(sdf_full, sdf_grad, color_fn, rays_o,
+                                   rays_d, z_vals, chunk=32)
+    rgb2, hit2, w2, wi2 = SEC.fine_sweep_targets(
+        sdf_vgf, color_fn, inv_s, rays_o, rays_d, z_vals, chunk=32)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wi2), np.asarray(wi), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hit2), np.asarray(hit))
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb), atol=1e-5)
+
+
+def test_sdf_value_sweep_exact():
+    """The last-layer column narrowing is mathematically exact: weight-norm
+    normalizes per output column, so slicing the sdf column changes only the
+    dot shape (last-ulp reassociation), not the math."""
+    cfg = tiny_config()
+    params = tiny_params(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, 3)) * 0.4
+    a = F.sdf_value(params["sdf"], cfg.sdf, x)
+    b = F.sdf_value_sweep(params["sdf"], cfg.sdf, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_render_deterministic_without_key():
     cfg = tiny_config()
     params = tiny_params(cfg)
