@@ -11,12 +11,15 @@ selection is JAX's job; multi-chip runs use --shard).
 import argparse
 
 from factored_neus_tpu.train.runner1 import Runner
-from factored_neus_tpu.utils.logging import (debug_nans, profiler_trace,
+from factored_neus_tpu.utils.logging import (debug_nans,
+                                             enable_compile_cache,
+                                             profiler_trace,
                                              setup_logging)
 
 
 def main():
     setup_logging()
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, default="./confs/base.conf")
     parser.add_argument("--mode", type=str, default="train")

@@ -75,6 +75,33 @@ class ThroughputMeter:
             self.start()
 
 
+def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
+    """Point JAX's persistent compilation cache at a durable directory.
+
+    The production step programs take minutes to compile over the tunneled
+    backend; caching them makes process restarts (is_continue resume, stage
+    chaining, repeated validation CLIs) near-instant after the first run.
+    Resolution order: explicit `path` arg, else $FNEUS_COMPILE_CACHE
+    (set to "0"/"" to disable), else ~/.cache/factored_neus_tpu/xla.
+    Returns the directory used, or None when disabled or unavailable.
+    """
+    if path is None:
+        path = os.environ.get(
+            "FNEUS_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "factored_neus_tpu", "xla"))
+    if not path or path == "0":
+        return None
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:                          # pragma: no cover
+        log.warning("persistent compile cache unavailable: %s", e)
+        return None
+    return path
+
+
 @contextlib.contextmanager
 def profiler_trace(log_dir: Optional[str]):
     """jax.profiler trace scope; no-op when log_dir is None."""

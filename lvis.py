@@ -6,12 +6,15 @@ Same surface as the reference entry point (ref:lvis.py:415-447).
 import argparse
 
 from factored_neus_tpu.train.runner2 import Runner
-from factored_neus_tpu.utils.logging import (debug_nans, profiler_trace,
+from factored_neus_tpu.utils.logging import (debug_nans,
+                                             enable_compile_cache,
+                                             profiler_trace,
                                              setup_logging)
 
 
 def main():
     setup_logging()
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, default="./confs/base.conf")
     parser.add_argument("--mode", type=str, default="train")

@@ -10,7 +10,9 @@ the reference's hardcoded per-case view-index tables. The round-1 names
 import argparse
 
 from factored_neus_tpu.train.runner3 import Runner
-from factored_neus_tpu.utils.logging import (debug_nans, profiler_trace,
+from factored_neus_tpu.utils.logging import (debug_nans,
+                                             enable_compile_cache,
+                                             profiler_trace,
                                              setup_logging)
 
 # ref:mateIllu.py:1135-1146 — the per-case test view for shiny scenes.
@@ -29,6 +31,7 @@ def _case_idx(case: str, table: dict, default: int) -> int:
 
 def main():
     setup_logging()
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, default="./confs/base.conf")
     parser.add_argument("--mode", type=str, default="train")

@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from factored_neus_tpu.utils.logging import (MetricsWriter, ThroughputMeter,
-                                             debug_nans, profiler_trace)
+                                             debug_nans, enable_compile_cache,
+                                             profiler_trace)
 
 
 def test_metrics_writer(tmp_path):
@@ -58,6 +59,24 @@ def test_profiler_trace_writes(tmp_path):
     for root, _, files in os.walk(d):
         found += files
     assert found, "profiler_trace produced no trace files"
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla")
+        assert enable_compile_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        # env-var opt-out
+        monkeypatch.setenv("FNEUS_COMPILE_CACHE", "0")
+        assert enable_compile_cache() is None
+        # env-var override wins over the default location
+        d2 = str(tmp_path / "xla2")
+        monkeypatch.setenv("FNEUS_COMPILE_CACHE", d2)
+        assert enable_compile_cache() == d2
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
 
 
 @pytest.mark.parametrize("cli", ["exp_runner", "lvis", "mateIllu"])
