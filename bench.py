@@ -205,7 +205,7 @@ def main():
             return
         from factored_neus_tpu.parallel import sharding as SH
         mesh = SH.make_mesh(devices)
-        r = measure(BATCH * len(devices), mesh=mesh)
+        r = measure(BATCH * len(devices), mesh=mesh, with_mfu=False)
         print(json.dumps({
             "metric": "stage1_train_rays_per_sec_sharded",
             "value": round(r["rays_per_sec"], 1),
@@ -278,7 +278,7 @@ def main():
             **({"vs_baseline": round(
                 r["rays_per_sec"] / BASELINE_RAYS_PER_SEC, 3)}
                if stage == "stage1" else {}),
-            "best_of": 2, "windows": windows,
+            "best_of": len(windows), "windows": windows,
             **({"block_steps": r["block_steps"]}
                if "block_steps" in r else {}),
             **({"tflops_per_sec": round(r["tflops_per_sec"], 2),

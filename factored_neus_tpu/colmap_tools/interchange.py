@@ -135,6 +135,15 @@ def nvm_to_ply(nvm_path: str, ply_path: str, normalize: bool = True,
 # Database -> Bundler / VisualSfM input structures
 # ---------------------------------------------------------------------------
 
+def _ensure_parent(path: str) -> str:
+    """COLMAP image names may contain subdirectories (e.g. ``rig1/0001.jpg``);
+    create the parent directory under the output tree before writing."""
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    return path
+
+
 def _db_features(db: ColmapDatabase, image_id: int):
     kp = db.keypoints(image_id)
     if kp is None:
@@ -178,7 +187,7 @@ def export_to_bundler(database_path: str, image_path: str, output_path: str,
                 dst = os.path.join(output_path, name)
                 if copy_images and not os.path.exists(dst) \
                         and os.path.exists(src):
-                    shutil.copyfile(src, dst)
+                    shutil.copyfile(src, _ensure_parent(dst))
 
         for iid, (idx, name) in index.items():
             key_gz = os.path.join(output_path,
@@ -194,7 +203,7 @@ def export_to_bundler(database_path: str, image_path: str, output_path: str,
                 row = desc[r]
                 for i in range(0, desc.shape[1], 20):
                     buf.append(" ".join(str(int(v)) for v in row[i:i + 20]))
-            with gzip.open(key_gz, "wt") as f:
+            with gzip.open(_ensure_parent(key_gz), "wt") as f:
                 f.write("\n".join(buf) + "\n")
 
         with open(os.path.join(output_path, "matches.init.txt"), "w") as f:
@@ -229,21 +238,21 @@ def export_to_visualsfm(database_path: str, image_path: str,
             dst = os.path.join(output_path, name)
             if copy_images and not os.path.exists(dst) \
                     and os.path.exists(src):
-                shutil.copyfile(src, dst)
+                shutil.copyfile(src, _ensure_parent(dst))
             sift_path = os.path.join(output_path,
                                      os.path.splitext(name)[0] + ".sift")
             if os.path.exists(sift_path):
                 continue
             kp, desc = _db_features(db, iid)
             if binary_feature_files:
-                with open(sift_path, "wb") as f:
+                with open(_ensure_parent(sift_path), "wb") as f:
                     f.write(struct.pack("5i", _SIFT_NAME, _SIFT_VERSION_V4,
                                         len(kp), 4, desc.shape[1]))
                     f.write(kp[:, :4].astype("<f4").tobytes())
                     f.write(desc.astype(np.uint8).tobytes())
                     f.write(struct.pack("i", _SIFT_EOF))
             else:
-                with open(sift_path, "w") as f:
+                with open(_ensure_parent(sift_path), "w") as f:
                     f.write("%d %d\n" % (len(kp), desc.shape[1]))
                     for r in range(len(kp)):
                         f.write("%f %f 0 0 " % (kp[r, 0], kp[r, 1]))

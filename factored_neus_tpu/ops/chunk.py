@@ -22,17 +22,8 @@ def chunked_apply(fn: Callable, x: jnp.ndarray, chunk_size: int,
     MLPs do), maps, and slices the padding back off.  When x already fits in
     one chunk, calls fn directly (no map overhead).
     """
-    n = x.shape[0]
-    if n <= chunk_size:
-        return fn(x)
-    num_chunks = -(-n // chunk_size)
-    pad = num_chunks * chunk_size - n
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
-    xs = x.reshape((num_chunks, chunk_size) + x.shape[1:])
-    ys = jax.lax.map(fn, xs)
-    ys = ys.reshape((num_chunks * chunk_size,) + ys.shape[2:])
-    return ys[:n]
+    del out_dim                       # shape comes from fn itself
+    return chunked_apply_tree(fn, x, chunk_size)
 
 
 def chunked_apply_tree(fn: Callable, x: jnp.ndarray, chunk_size: int):

@@ -142,6 +142,61 @@ def plan_block(iter_step: int, end_iter: int, block: int, freqs,
     return K, idxs, perm
 
 
+class BlockStepper:
+    """Multi-step-blocking driver shared by the three stage runners.
+
+    Owns the per-K cache of multi-step train programs and the plan_block
+    bookkeeping; ``advance`` runs one block (one device program — a K-step
+    lax.scan, or the plain single-step fn at boundaries) and returns the
+    new train state.  The parameter trajectory and every PRNG draw are
+    exactly identical to single stepping (keys fold by absolute step).
+    """
+
+    def __init__(self, tcfg: TrainConfig, n_images: int, single_fn,
+                 make_multi, key, freqs):
+        self.tcfg = tcfg
+        self.n_images = n_images
+        self.single_fn = single_fn
+        self.make_multi = make_multi          # k_steps -> step fn
+        self.key = key
+        self.freqs = freqs
+        self.block = max(1, int(tcfg.block_steps))
+        self._multi_fns: Dict[int, Any] = {}
+        self._rng = None
+        self._perm = None
+
+    def start(self, rng, image_perm):
+        self._rng, self._perm = rng, image_perm
+
+    def advance(self, iter_step: int, params, opt_state, data):
+        """-> (params, opt_state, metrics, K).  Blocked metrics carry a
+        leading [K] axis; see boundary_metrics."""
+        K, idxs, self._perm = plan_block(
+            iter_step, self.tcfg.end_iter, self.block, self.freqs,
+            self._perm, self._rng, self.n_images)
+        if K == 1:
+            out = self.single_fn(
+                params, opt_state, data, jnp.asarray(idxs[0]),
+                jax.random.fold_in(self.key, iter_step),
+                jnp.asarray(iter_step))
+        else:
+            if K not in self._multi_fns:
+                self._multi_fns[K] = self.make_multi(K)
+            out = self._multi_fns[K](
+                params, opt_state, data, jnp.asarray(idxs), self.key,
+                jnp.asarray(iter_step))
+        params, opt_state, metrics = out
+        return params, opt_state, metrics, K
+
+
+def boundary_metrics(metrics) -> Dict[str, float]:
+    """Scalar metrics at the block's boundary step: blocked programs stack
+    metrics along a leading [K] axis — report the last sub-step's values
+    (the one landing on the report frequency), matching single stepping."""
+    import numpy as np
+    return {k: float(np.ravel(v)[-1]) for k, v in metrics.items()}
+
+
 def val_chunk_size(tcfg: TrainConfig, mesh=None) -> int:
     """Validation/inference ray-chunk size: at least batch_size, and when a
     device mesh is active, rounded UP to a multiple of the device count —

@@ -27,8 +27,8 @@ from ..utils import checkpoints as CK
 from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage1
-from .common import (TrainConfig, init_all_params, plan_block,
-                     val_chunk_size)
+from .common import (BlockStepper, TrainConfig, boundary_metrics,
+                     init_all_params, val_chunk_size)
 
 # checkpoint group names, matching ref:exp_runner.py:266-278
 CKPT_KEYS = {
@@ -110,16 +110,7 @@ class Runner:
         key = jax.random.PRNGKey(self.iter_step + 1)
         self.meter.start()
 
-        # multi-step blocking (train.block_steps > 1): run K optimizer steps
-        # as ONE device program (lax.scan), K chosen so no block ever crosses
-        # a report/save/validation boundary — the observable behavior (and
-        # the parameter trajectory, exact-RNG) is identical to single
-        # stepping. Distinct K values compile separate (cached) programs;
-        # with the usual freq settings only block_steps and one remainder
-        # size ever occur.
-        block = max(1, int(self.tcfg.block_steps))
-        multi_fns = {}
-
+        # multi-step blocking (train.block_steps > 1): see common.BlockStepper
         def make_multi(k_steps):
             return stage1.make_train_step(
                 self.cfg, self.tcfg, mesh=self.mesh,
@@ -129,34 +120,20 @@ class Runner:
                                        "sample_roi_prob", 0.0)),
                 k_steps=k_steps)[1]
 
-        freqs = (self.tcfg.report_freq, self.tcfg.save_freq,
-                 self.tcfg.val_freq, self.tcfg.val_mesh_freq)
+        stepper = BlockStepper(
+            self.tcfg, self.dataset.n_images, self._step_fn, make_multi,
+            key, freqs=(self.tcfg.report_freq, self.tcfg.save_freq,
+                        self.tcfg.val_freq, self.tcfg.val_mesh_freq))
+        stepper.start(rng, image_perm)
 
         while self.iter_step < self.tcfg.end_iter:
-            K, idxs, image_perm = plan_block(
-                self.iter_step, self.tcfg.end_iter, block, freqs,
-                image_perm, rng, self.dataset.n_images)
-            if K == 1:
-                out = self._step_fn(
-                    self.params, self.opt_state, self._data,
-                    jnp.asarray(idxs[0]),
-                    jax.random.fold_in(key, self.iter_step),
-                    jnp.asarray(self.iter_step))
-            else:
-                if K not in multi_fns:
-                    multi_fns[K] = make_multi(K)
-                out = multi_fns[K](
-                    self.params, self.opt_state, self._data,
-                    jnp.asarray(idxs), key, jnp.asarray(self.iter_step))
-            self.params, self.opt_state, metrics = out
+            self.params, self.opt_state, metrics, K = stepper.advance(
+                self.iter_step, self.params, self.opt_state, self._data)
             self.iter_step += K
             self.meter.step(self.tcfg.batch_size * K)
 
             if self.iter_step % self.tcfg.report_freq == 0:
-                # block mode stacks metrics along a leading [K] axis;
-                # report the boundary step's values (the last sub-step)
-                m = {k_: float(np.ravel(v)[-1])
-                     for k_, v in metrics.items()}
+                m = boundary_metrics(metrics)
                 self.writer.scalars(
                     {"Loss/loss": m["loss"], "Loss/color_loss": m["color_loss"],
                      "Loss/eikonal_loss": m["eikonal_loss"],

@@ -24,8 +24,8 @@ from ..utils import checkpoints as CK
 from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage2
-from .common import (TrainConfig, init_all_params, plan_block,
-                     val_chunk_size)
+from .common import (BlockStepper, TrainConfig, boundary_metrics,
+                     init_all_params, val_chunk_size)
 from .runner1 import CKPT_KEYS
 
 STAGE2_KEYS = dict(CKPT_KEYS, lvis="lvis_network", indirect="indiLgt_network")
@@ -125,40 +125,28 @@ class Runner:
         image_perm = rng.permutation(self.dataset.n_images)
         key = jax.random.PRNGKey(self.iter_step + 2)
         self.meter.start()
-        # multi-step blocking (train.block_steps): see runner1.train — K
-        # steps per device program, blocks never cross event boundaries
-        block = max(1, int(self.tcfg.block_steps))
-        multi_fns = {}
-        freqs = (self.tcfg.report_freq, self.tcfg.save_freq,
-                 self.tcfg.val_freq)
+        # multi-step blocking (train.block_steps): see common.BlockStepper
+        def make_multi(k_steps):
+            return stage2.make_train_step(
+                self.cfg, self.tcfg, mesh=self.mesh,
+                convention=self.dataset.convention,
+                mask_ones=self.dataset.mask_ones,
+                roi_prob=float(getattr(self.dataset,
+                                       "sample_roi_prob", 0.0)),
+                k_steps=k_steps)[1]
+
+        stepper = BlockStepper(
+            self.tcfg, self.dataset.n_images, self._step_fn, make_multi,
+            key, freqs=(self.tcfg.report_freq, self.tcfg.save_freq,
+                        self.tcfg.val_freq))
+        stepper.start(rng, image_perm)
         while self.iter_step < self.tcfg.end_iter:
-            K, idxs, image_perm = plan_block(
-                self.iter_step, self.tcfg.end_iter, block, freqs,
-                image_perm, rng, self.dataset.n_images)
-            if K == 1:
-                out = self._step_fn(
-                    self.params, self.opt_state, self._data,
-                    jnp.asarray(idxs[0]),
-                    jax.random.fold_in(key, self.iter_step),
-                    jnp.asarray(self.iter_step))
-            else:
-                if K not in multi_fns:
-                    multi_fns[K] = stage2.make_train_step(
-                        self.cfg, self.tcfg, mesh=self.mesh,
-                        convention=self.dataset.convention,
-                        mask_ones=self.dataset.mask_ones,
-                        roi_prob=float(getattr(self.dataset,
-                                               "sample_roi_prob", 0.0)),
-                        k_steps=K)[1]
-                out = multi_fns[K](
-                    self.params, self.opt_state, self._data,
-                    jnp.asarray(idxs), key, jnp.asarray(self.iter_step))
-            self.params, self.opt_state, metrics = out
+            self.params, self.opt_state, metrics, K = stepper.advance(
+                self.iter_step, self.params, self.opt_state, self._data)
             self.iter_step += K
             self.meter.step(self.tcfg.batch_size * K)
             if self.iter_step % self.tcfg.report_freq == 0:
-                m = {k_: float(np.ravel(v)[-1])
-                     for k_, v in metrics.items()}
+                m = boundary_metrics(metrics)
                 writer.scalars({"Loss/loss": m["lvis_loss"],
                                 "Loss/trace_radiance": m["trace_radiance_loss"],
                                 "Perf/rays_per_sec": self.meter.rays_per_sec},

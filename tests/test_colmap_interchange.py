@@ -99,7 +99,7 @@ def test_normalize_points_properties():
     assert IC.normalize_points(np.zeros((0, 3))).shape == (0, 3)
 
 
-def _make_db(tmp_path, n_images=3, n_kp=10):
+def _make_db(tmp_path, n_images=3, n_kp=10, nested=False):
     rng = np.random.RandomState(2)
     db_path = str(tmp_path / "db.db")
     img_dir = tmp_path / "images"
@@ -109,7 +109,9 @@ def _make_db(tmp_path, n_images=3, n_kp=10):
         cam = db.add_camera("PINHOLE", 64, 48, [500.0, 480.0, 32.0, 24.0])
         iids = []
         for i in range(n_images):
-            name = f"im{i}.jpg"
+            # COLMAP image names may carry subdirectories (rig layouts)
+            name = f"rig{i % 2}/im{i}.jpg" if nested else f"im{i}.jpg"
+            (img_dir / name).parent.mkdir(exist_ok=True)
             (img_dir / name).write_bytes(b"fakejpg")
             iid = db.add_image(name, cam)
             kp = np.concatenate(
@@ -155,6 +157,21 @@ def test_export_to_bundler(tmp_path):
     np.testing.assert_array_equal(
         np.array(mi[3:], int).reshape(-1, 2), ms[0])
     assert os.path.exists(os.path.join(out, "run_bundler.sh"))
+
+
+def test_export_nested_image_names(tmp_path):
+    """Image names with subdirectories (rig layouts) export without error —
+    output subdirs are created on demand."""
+    db_path, img_dir, iids, kps, descs, ms = _make_db(tmp_path, nested=True)
+    out_b = str(tmp_path / "bundler")
+    assert IC.export_to_bundler(db_path, img_dir, out_b,
+                                min_num_matches=3) == 3
+    assert os.path.exists(os.path.join(out_b, "rig1", "im1.jpg"))
+    assert os.path.exists(os.path.join(out_b, "rig0", "im0.key.gz"))
+    out_v = str(tmp_path / "vsfm")
+    assert IC.export_to_visualsfm(db_path, img_dir, out_v,
+                                  min_num_matches=1) == 3
+    assert os.path.exists(os.path.join(out_v, "rig0", "im2.sift"))
 
 
 def test_export_to_visualsfm_binary(tmp_path):

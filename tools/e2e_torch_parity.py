@@ -153,7 +153,11 @@ def _seed_conf(workdir: str, seed):
         return conf_path
     with open(conf_path) as f:
         text = f.read()
-    text = text.replace("/exp/", f"/exp_s{seed}/")
+    # rewrite ONLY the exp tree rooted at this workdir — a blanket
+    # "/exp/" replace would corrupt a workdir path that itself contains
+    # an /exp/ segment (e.g. /home/user/exp/parity/data/...)
+    text = text.replace(os.path.join(workdir, "exp") + "/",
+                        os.path.join(workdir, f"exp_s{seed}") + "/")
     sp = os.path.join(workdir, f"parity_s{seed}.conf")
     with open(sp, "w") as f:
         f.write(text)

@@ -140,6 +140,15 @@ def summarize(dev_events, steps: int, topk: int):
         if not _is_container(e["name"]):
             total_us += e["dur"]
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:topk]
+    if total_us <= 0.0:
+        # every event in the lane was a control-flow span — still print the
+        # table rather than discarding a minutes-long device capture
+        print(f"warning: no non-span device events in the selected lane "
+              f"({len(agg)} distinct ops, all [span]); percentages omitted")
+        for name, (us, cnt) in rows:
+            print(f"| `{name[:80]}` [span] | {us / steps / 1e3:.3f} | - "
+                  f"| {cnt / steps:.1f} |")
+        return 0.0
     print(f"device time: {total_us / steps / 1e3:.2f} ms/step "
           f"({len(agg)} distinct ops, {steps} steps; control-flow spans "
           f"excluded from the total, marked [span] below)")
