@@ -14,8 +14,16 @@ os.environ.setdefault("FNEUS_CORE_ACT_BF16", "0")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA's CPU collectives abort the process when a rendezvous straggler is
+# >40 s late (rendezvous.cc terminate timeout).  On a 1-core host the 8
+# virtual device threads time-share the core, so a heavy sharded step can
+# legitimately stagger past that — raise the limits far beyond any real
+# deadlock window.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
