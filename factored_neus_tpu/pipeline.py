@@ -165,12 +165,9 @@ class Pipeline:
                      ) -> Tuple[np.ndarray, np.ndarray]:
         """mesh: optional jax.sharding.Mesh — shards the grid fill across
         the devices (see meshing.extract.extract_fields)."""
-        from .ops.pallas_sdf import on_tpu, sdf_forward_pallas
-        if on_tpu():
-            query = lambda p: -sdf_forward_pallas(self.params["sdf"],
-                                                  self.cfg.sdf, p)
-        else:
-            query = lambda p: -F.sdf_value(self.params["sdf"], self.cfg.sdf, p)
+        # chunked narrowed XLA sweep: 2.9x faster than the fused Pallas
+        # forward on the 512^3 fill (BENCHMARKS.md round-3 ledger)
+        query = MEXT.make_sdf_grid_query(self.params["sdf"], self.cfg.sdf)
         bb_min = self.dataset.object_bbox_min if self.dataset is not None \
             else [-1.01] * 3
         bb_max = self.dataset.object_bbox_max if self.dataset is not None \

@@ -309,11 +309,9 @@ class Runner:
     # -- meshes -------------------------------------------------------------
 
     def _neg_sdf(self, pts):
-        from ..ops.pallas_sdf import on_tpu, sdf_forward_pallas
-        if on_tpu():
-            # fused Pallas forward (f32): the 512^3 grid fill is 134M evals
-            return -sdf_forward_pallas(self.params["sdf"], self.cfg.sdf, pts)
-        return -F.sdf_value(self.params["sdf"], self.cfg.sdf, pts)
+        # chunked narrowed XLA sweep: 2.9x faster than the fused Pallas
+        # forward on the 512^3 fill (BENCHMARKS.md round-3 ledger)
+        return MEXT.make_sdf_grid_query(self.params["sdf"], self.cfg.sdf)(pts)
 
     def validate_mesh(self, world_space: bool = False, resolution: int = 512,
                       threshold: float = 0.0):
