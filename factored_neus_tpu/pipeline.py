@@ -104,10 +104,10 @@ class Pipeline:
             else:
                 out = fn(self.params, o_c, d_c, near, far,
                          jax.random.fold_in(key, i))
-            for k in keys:
-                acc[k].append(np.asarray(out[k]))
-        return {k: np.concatenate(v)[:n].reshape(H, W, -1)
-                for k, v in acc.items()}
+            for k in keys:              # keep device arrays; fetch after the
+                acc[k].append(out[k])   # loop so transfers overlap compute
+        return {k: np.concatenate([np.asarray(c) for c in v])[:n]
+                .reshape(H, W, -1) for k, v in acc.items()}
 
     # -- public surface ------------------------------------------------------
 

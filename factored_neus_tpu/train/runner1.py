@@ -40,6 +40,16 @@ CKPT_KEYS = {
 }
 
 
+@jax.jit
+def _normal_map_device(gradients, weights, inside_sphere):
+    """Per-ray normal map from per-sample SDF gradients, reduced on device
+    (validation is transfer-bound on slow host links; ship [B,3], not
+    [B,n,3]). Same formula as ref:exp_runner.py:325-328."""
+    n = gradients.shape[1]
+    return (gradients * weights[:, :n, None]
+            * inside_sphere[..., None]).sum(1)
+
+
 class Runner:
     def __init__(self, conf_path: str, mode: str = "train", case: str = "",
                  is_continue: bool = False, type: str = "dtu",
@@ -225,6 +235,10 @@ class Runner:
             rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
         outs = {k: [] for k in keys}
         normals_acc = []
+        # accumulate DEVICE arrays and fetch after the loop: the renders
+        # queue asynchronously, so device->host transfers overlap compute;
+        # the normal reduction runs on device so only [B,3] crosses the
+        # wire instead of [B,n,3] + two [B,n] masks per chunk
         for i in range(0, len(ro), B):
             o_c = jnp.asarray(ro[i:i + B])
             d_c = jnp.asarray(rd[i:i + B])
@@ -232,15 +246,13 @@ class Runner:
             out = self._render_fn(self.params, o_c, d_c, near, far,
                                   jnp.asarray(self.iter_step))
             for k in keys:
-                outs[k].append(np.asarray(out[k]))
-            n_total = self.cfg.n_total
-            normals = (np.asarray(out["gradients"])
-                       * np.asarray(out["weights"])[:, :n_total, None]
-                       * np.asarray(out["inside_sphere"])[..., None]).sum(1)
-            normals_acc.append(normals)
-        res = {k: np.concatenate(v)[:n].reshape(H, W, -1)
-               for k, v in outs.items()}
-        res["normals"] = np.concatenate(normals_acc)[:n].reshape(H, W, 3)
+                outs[k].append(out[k])
+            normals_acc.append(_normal_map_device(
+                out["gradients"], out["weights"], out["inside_sphere"]))
+        res = {k: np.concatenate([np.asarray(c) for c in v])[:n]
+               .reshape(H, W, -1) for k, v in outs.items()}
+        res["normals"] = np.concatenate(
+            [np.asarray(c) for c in normals_acc])[:n].reshape(H, W, 3)
         return res
 
     def validate_image(self, idx: int = -1, resolution_level: int = -1):

@@ -181,9 +181,10 @@ class Runner:
             near, far = RAYS.near_far_from_sphere(o_c, d_c)
             out = self._render_fn(self.params, o_c, d_c, near, far,
                                   jax.random.fold_in(key, i))
-            for k in acc:
-                acc[k].append(np.asarray(out[k]))
-        return {k: np.concatenate(v)[:n] for k, v in acc.items()}, H, W
+            for k in acc:               # keep device arrays; fetch after the
+                acc[k].append(out[k])   # loop so transfers overlap compute
+        return {k: np.concatenate([np.asarray(c) for c in v])[:n]
+                for k, v in acc.items()}, H, W
 
     def validate_image(self, idx: int = -1, resolution_level: int = -1):
         if idx < 0:

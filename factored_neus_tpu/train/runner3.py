@@ -195,10 +195,10 @@ class Runner:
             near, far = RAYS.near_far_from_sphere(o_c, d_c)
             out = self._render_fn(self.params, o_c, d_c, near, far,
                                   jax.random.fold_in(key, i))
-            for k in _VAL_KEYS:
-                acc[k].append(np.asarray(out[k]))
-        res = {k: np.concatenate(v)[:n].reshape(H, W, -1)
-               for k, v in acc.items()}
+            for k in _VAL_KEYS:         # keep device arrays; fetch after the
+                acc[k].append(out[k])   # loop so transfers overlap compute
+        res = {k: np.concatenate([np.asarray(c) for c in v])[:n]
+               .reshape(H, W, -1) for k, v in acc.items()}
         return res
 
     # -- validation panels ---------------------------------------------------
