@@ -174,6 +174,7 @@ class Runner:
             # NOTE: the image-perm rotation lives inside step_block (it can
             # fall mid-block); same rng stream as the reference's epoch
             # reshuffle (ref:exp_runner.py:220-221)
+        CK.wait_for_async_saves()        # drain the background ckpt writer
 
     # -- checkpointing ------------------------------------------------------
 
@@ -185,7 +186,7 @@ class Runner:
         groups["lvis_network"] = self.params["lvis"]
         groups["indiLgt_network"] = self.params["indirect"]
         groups["mateIllu_network"] = self.params["material"]
-        CK.save_checkpoint(self.base_exp_dir, self.iter_step, groups)
+        CK.save_checkpoint_async(self.base_exp_dir, self.iter_step, groups)
 
     def load_checkpoint(self, path: str):
         loaded = CK.load_checkpoint(path)

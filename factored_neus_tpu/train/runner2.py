@@ -112,7 +112,7 @@ class Runner:
         groups["mateIllu_network"] = self.params["material"]
         groups["optimizer"] = self.opt_state
         groups["iter_step"] = self.iter_step
-        CK.save_checkpoint(self.base_exp_dir, self.iter_step, groups)
+        CK.save_checkpoint_async(self.base_exp_dir, self.iter_step, groups)
 
     def file_backup(self):
         rec = os.path.join(self.base_exp_dir, "recording")
@@ -159,6 +159,7 @@ class Runner:
             if self.iter_step % self.tcfg.val_freq == 0:
                 self.validate_image()
             # image-perm rotation handled inside plan_block
+        CK.wait_for_async_saves()        # drain the background ckpt writer
 
     # -- validation (ref:lvis.py:347-411) ------------------------------------
 

@@ -126,7 +126,7 @@ class Runner:
         groups = {ck: self.params[pk] for pk, ck in STAGE3_KEYS.items()}
         groups["optimizer"] = self.opt_state
         groups["iter_step"] = self.iter_step
-        CK.save_checkpoint(self.base_exp_dir, self.iter_step, groups)
+        CK.save_checkpoint_async(self.base_exp_dir, self.iter_step, groups)
 
     # -- training ------------------------------------------------------------
 
@@ -173,6 +173,7 @@ class Runner:
                 else:
                     self.validate_synthetic_img()
             # image-perm rotation handled inside plan_block
+        CK.wait_for_async_saves()        # drain the background ckpt writer
 
     # -- shared chunked render ----------------------------------------------
 

@@ -19,12 +19,17 @@ import io
 import json
 import os
 import re
+import threading
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 
 _SEP = "/"
+
+# single in-flight async writer (runners are single-threaded savers)
+_ASYNC_THREAD: Optional[threading.Thread] = None
+_ASYNC_ERROR: Optional[BaseException] = None
 
 
 def _flatten(tree) -> Dict[str, np.ndarray]:
@@ -144,6 +149,58 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return out
 
 
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint write has finished.
+    Re-raises an error from the background writer (e.g. disk full) so a
+    failed save surfaces on the training thread instead of vanishing."""
+    global _ASYNC_ERROR
+    t = _ASYNC_THREAD
+    if t is not None:
+        t.join()
+    if _ASYNC_ERROR is not None:
+        err, _ASYNC_ERROR = _ASYNC_ERROR, None
+        raise RuntimeError("async checkpoint write failed") from err
+
+
+def save_checkpoint_async(base_exp_dir: str, iter_step: int,
+                          groups: Dict[str, Any]) -> None:
+    """Non-blocking save_checkpoint: the device->host fetch and npz write
+    run in a background thread so the train loop keeps stepping (the fetch
+    alone costs seconds per save on slow host links).
+
+    Donation safety: device leaves are snapshotted with an on-device copy
+    BEFORE returning — the copy is dispatched in stream order ahead of the
+    next train step, so the step's buffer donation cannot alias the data
+    being written.  One save is in flight at a time (a new call joins the
+    previous writer: ordering + bounded host memory); the writer thread is
+    non-daemon so an interpreter exit drains pending writes, and the
+    atomic tmp-file rename in save_checkpoint means a hard kill can only
+    lose the newest file, never corrupt one.  Call wait_for_async_saves()
+    before reading the newest file back in-process (latest_checkpoint does
+    this automatically)."""
+    global _ASYNC_THREAD
+    import jax.numpy as jnp
+
+    def snap(leaf):
+        return jnp.copy(leaf) if isinstance(leaf, jax.Array) else leaf
+
+    snapped = {name: jax.tree_util.tree_map(snap, tree)
+               for name, tree in groups.items()}
+    wait_for_async_saves()
+
+    def write():
+        global _ASYNC_ERROR
+        try:
+            save_checkpoint(base_exp_dir, iter_step, snapped)
+        except BaseException as e:                    # surfaced by the next
+            _ASYNC_ERROR = e                          # wait_for_async_saves
+
+    t = threading.Thread(target=write, name=f"ckpt-writer-{iter_step}",
+                         daemon=False)
+    t.start()
+    _ASYNC_THREAD = t
+
+
 _CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
 
 
@@ -151,6 +208,7 @@ def latest_checkpoint(base_exp_dir: str,
                       end_iter: Optional[int] = None) -> Optional[str]:
     """Newest stamped checkpoint <= end_iter, or None.
     ref:exp_runner.py:107-118."""
+    wait_for_async_saves()      # an in-flight async write may be the newest
     ckpt_dir = os.path.join(base_exp_dir, "checkpoints")
     if not os.path.isdir(ckpt_dir):
         return None

@@ -37,6 +37,8 @@ def test_full_pipeline(pipeline_dirs):
     r1.train()
     assert r1.iter_step == 4
     r1.save_checkpoint()
+    from factored_neus_tpu.utils import checkpoints as CK
+    CK.wait_for_async_saves()           # saves are async; drain before stat
     ck1 = exp / "geometry" / "checkpoints" / "ckpt_000004.npz"
     assert ck1.exists()
 
@@ -54,6 +56,7 @@ def test_full_pipeline(pipeline_dirs):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     r2.train()
     r2.save_checkpoint()
+    CK.wait_for_async_saves()
     assert (exp / "lvis" / "checkpoints" / "ckpt_000004.npz").exists()
 
     # stage 3 chains from the stage-2 checkpoint

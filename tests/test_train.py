@@ -313,3 +313,38 @@ def test_plan_block():
         K, idxs, perm2 = plan_block(t, 7, 4, (), perm2, rng2, 3)
         seq_block += idxs; t += K
     assert seq_block == seq_single
+
+
+def test_async_checkpoint_save(tmp_path):
+    """save_checkpoint_async: file content equals a sync save, survives
+    immediate donation-style mutation of the source buffers, and surfaces
+    writer errors on the next wait."""
+    import jax
+    import jax.numpy as jnp
+    from factored_neus_tpu.utils import checkpoints as CK
+
+    groups = {
+        "sdf_network_fine": {"l0": {"w": jnp.arange(12.0).reshape(3, 4),
+                                    "b": jnp.ones((4,))}},
+        "iter_step": 7,
+    }
+    CK.save_checkpoint_async(str(tmp_path), 7, groups)
+    # mutate the source tree immediately (stands in for buffer donation by
+    # the next train step) — the async writer must have snapshotted
+    groups["sdf_network_fine"]["l0"]["w"] = \
+        groups["sdf_network_fine"]["l0"]["w"] * 0.0
+    CK.wait_for_async_saves()
+    path = CK.latest_checkpoint(str(tmp_path))
+    assert path is not None and path.endswith("ckpt_000007.npz")
+    loaded = CK.load_checkpoint(path)
+    np.testing.assert_array_equal(
+        loaded["sdf_network_fine"]["l0"]["w"],
+        np.arange(12.0).reshape(3, 4))
+    assert int(loaded["iter_step"]) == 7
+
+    # writer errors surface on the training thread at the next wait
+    bad = tmp_path / "file_in_the_way"
+    bad.write_text("x")
+    CK.save_checkpoint_async(str(bad / "sub"), 1, {"iter_step": 1})
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        CK.wait_for_async_saves()
