@@ -259,16 +259,20 @@ def main():
             }), flush=True)
             return False
         windows = [round(r["rays_per_sec"], 1)]
-        try:                                    # second window best-effort
-            r2 = measure(BATCH, stage=stage, with_mfu=False, k_steps=k)
+        # extra windows best-effort (3 for the stage-1 headline, 2 for
+        # stages 2/3): one low window after an idle tunnel is common, two
+        # in a row are not
+        for _ in range(2 if stage == "stage1" else 1):
+            try:
+                r2 = measure(BATCH, stage=stage, with_mfu=False, k_steps=k)
+            except Exception:
+                break
             windows.append(round(r2["rays_per_sec"], 1))
             if r2["rays_per_sec"] > r["rays_per_sec"]:
                 r2.update({k: r[k] for k in
                            ("tflops_per_sec", "mfu", "pallas_flop_frac",
                             "hbm_frac") if k in r})
                 r = r2
-        except Exception:
-            pass
         print(json.dumps({
             "metric": f"{stage}_train_rays_per_sec_per_chip",
             "value": round(r["rays_per_sec"], 1),
