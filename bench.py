@@ -231,9 +231,10 @@ def main():
             }), flush=True)
         return
 
-    # two measurement windows per stage, report the better: the tunneled
-    # backend's first window after an idle/wedged period reads 10-20% low
-    # (SKILL.md gotchas); steady-state throughput is the max, not the mean.
+    # multiple measurement windows per stage (3 for the stage-1 headline,
+    # 2 for stages 2/3), report the best: the tunneled backend's first
+    # window after an idle/wedged period reads 10-20% low (SKILL.md
+    # gotchas); steady-state throughput is the max, not the mean.
     # The aggregation rule is surfaced in the JSON (best_of / windows).
     # The tunnel occasionally wedges outright — retry once after a pause,
     # and always emit a parseable JSON line rather than a bare traceback.

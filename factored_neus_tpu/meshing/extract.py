@@ -26,7 +26,8 @@ from ..native import marching_cubes as _mc_native
 GRID_QUERY_CHUNK = 32768
 
 
-def make_sdf_grid_query(sdf_params, sdf_cfg) -> Callable:
+def make_sdf_grid_query(sdf_params, sdf_cfg,
+                        chunk: int = GRID_QUERY_CHUNK) -> Callable:
     """-sdf evaluator for extract_fields / extract_geometry.
 
     Uses the value-only narrowed XLA sweep (fields.sdf_value_sweep),
@@ -42,15 +43,14 @@ def make_sdf_grid_query(sdf_params, sdf_cfg) -> Callable:
 
     def query(p):
         return -chunked_apply(
-            lambda q: F.sdf_value_sweep(sdf_params, sdf_cfg, q), p,
-            GRID_QUERY_CHUNK)
+            lambda q: F.sdf_value_sweep(sdf_params, sdf_cfg, q), p, chunk)
 
     return query
 
 
 def extract_fields(bound_min, bound_max, resolution: int, query_fn,
                    slab: int = 32, mesh=None,
-                   transfer_dtype=jnp.float16) -> np.ndarray:
+                   transfer_dtype=jnp.float32) -> np.ndarray:
     """Dense [R,R,R] field grid (numpy, f32).
 
     query_fn: pts [N,3] -> values [N] (jittable).
@@ -64,14 +64,16 @@ def extract_fields(bound_min, bound_max, resolution: int, query_fn,
     query_fn's captured parameters are closure constants, replicated onto
     every device by shard_map.
 
-    transfer_dtype: the device->host wire dtype. The 512^3 grid is 512 MB
-    at f32 and the fill is transfer-bound (tunneled v5e: ~4.2 s/33 MB slab
-    vs ~0.1 s compute); float16 halves the bytes. Iso-surface impact is
-    negligible: marching-tet vertices interpolate t = s0/(s0-s1), so an
-    f16 round (rel. error 2^-11) shifts vertices by ~1e-4 of a cell —
-    orders below the chamfer scale. Pass jnp.float32 for bit-exact fills.
-    All slabs are dispatched before the first fetch, so transfers overlap
-    the remaining compute.
+    transfer_dtype: the device->host wire dtype; f32 (exact) by default
+    for this generic utility. The SDF mesh path (extract_geometry) passes
+    float16: the 512^3 grid is 512 MB at f32 and the fill is
+    transfer-bound on slow host links (tunneled v5e: ~4.2 s/33 MB slab vs
+    ~0.1 s compute); f16 halves the bytes, and since marching-tet
+    vertices interpolate t = s0/(s0-s1), an f16 round (rel. error 2^-11)
+    shifts vertices by ~1e-4 of a cell — orders below the chamfer scale
+    (equivalence-tested, and SDF grids sit comfortably inside f16 range).
+    A bounded number of slabs is in flight at once, so transfers overlap
+    compute without accumulating the whole grid in device memory.
     """
     bound_min = np.asarray(bound_min, np.float32)
     bound_max = np.asarray(bound_max, np.float32)
@@ -100,30 +102,41 @@ def extract_fields(bound_min, bound_max, resolution: int, query_fn,
         eval_slab = jax.jit(eval_slab_local)
 
     out = np.empty((resolution,) * 3, np.float32)
-    pending = []                      # dispatch everything, then fetch:
-    for start in range(0, resolution, slab):      # transfers overlap compute
+    pending = []      # small dispatch-ahead window: transfers overlap the
+    MAX_IN_FLIGHT = 4  # still-running compute without holding the whole
+                       # grid in device memory (1024^3 at f32 would be 4 GB)
+
+    def drain_one():
+        start, end, dev_vals = pending.pop(0)
+        out[start:end] = np.asarray(dev_vals, np.float32)[: end - start]
+
+    for start in range(0, resolution, slab):
         end = min(start + slab, resolution)
         x_block = jnp.asarray(xs[start:end])
         if end - start < slab:  # pad to keep one compiled shape
             pad = slab - (end - start)
             x_block = jnp.concatenate([x_block, jnp.full((pad,), xs[-1])])
         pending.append((start, end, eval_slab(x_block)))
-    for start, end, dev_vals in pending:
-        vals = np.asarray(dev_vals, np.float32)
-        out[start:end] = vals[: end - start]
+        if len(pending) > MAX_IN_FLIGHT:
+            drain_one()
+    while pending:
+        drain_one()
     return out
 
 
 def extract_geometry(bound_min, bound_max, resolution: int, threshold: float,
-                     query_fn, slab: int = 32, mesh=None
+                     query_fn, slab: int = 32, mesh=None,
+                     transfer_dtype=jnp.float16
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """(vertices [V,3] world coords, triangles [T,3]).
 
     query_fn follows the reference's convention of returning -sdf
     (ref:renderer.py:729-734), so the surface is at threshold with outward
-    orientation."""
+    orientation.  transfer_dtype defaults to float16 here (the SDF mesh
+    path — bounded values, transfer-bound fills; see extract_fields);
+    pass jnp.float32 for a bit-exact grid."""
     u = extract_fields(bound_min, bound_max, resolution, query_fn, slab=slab,
-                       mesh=mesh)
+                       mesh=mesh, transfer_dtype=transfer_dtype)
     verts, tris = _mc_native(u, float(threshold))
     b_min = np.asarray(bound_min, np.float32)
     b_max = np.asarray(bound_max, np.float32)

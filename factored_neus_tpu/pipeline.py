@@ -30,7 +30,7 @@ from .models import renderer as R
 from .ops import sg as SG
 from .utils import checkpoints as CK
 from .utils import config as CFG
-from .train.common import init_all_params
+from .train.common import fetch_concat, init_all_params
 from .train.runner1 import CKPT_KEYS
 from .train.runner3 import STAGE3_KEYS
 
@@ -106,8 +106,8 @@ class Pipeline:
                          jax.random.fold_in(key, i))
             for k in keys:              # keep device arrays; fetch after the
                 acc[k].append(out[k])   # loop so transfers overlap compute
-        return {k: np.concatenate([np.asarray(c) for c in v])[:n]
-                .reshape(H, W, -1) for k, v in acc.items()}
+        return {k: fetch_concat(v, n).reshape(H, W, -1)
+                for k, v in acc.items()}
 
     # -- public surface ------------------------------------------------------
 

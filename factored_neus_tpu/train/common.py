@@ -210,6 +210,16 @@ def val_chunk_size(tcfg: TrainConfig, mesh=None) -> int:
     return B
 
 
+def fetch_concat(chunks, n: int):
+    """Fetch-and-concatenate a list of per-chunk DEVICE arrays, trimmed to
+    the first n rows.  The contract with the render loops: dispatch every
+    chunk first, append the device arrays, and fetch only here — the queued
+    renders then overlap the device->host transfers (validation is
+    transfer-bound on slow host links; BENCHMARKS.md round-3)."""
+    import numpy as np
+    return np.concatenate([np.asarray(c) for c in chunks])[:n]
+
+
 def init_all_params(key, cfg: RendererConfig,
                     variance_init_val: float = 0.3) -> Dict[str, Any]:
     """One pytree with every network the three stages need."""

@@ -28,7 +28,7 @@ from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage1
 from .common import (BlockStepper, TrainConfig, boundary_metrics,
-                     init_all_params, val_chunk_size)
+                     fetch_concat, init_all_params, val_chunk_size)
 
 # checkpoint group names, matching ref:exp_runner.py:266-278
 CKPT_KEYS = {
@@ -250,10 +250,9 @@ class Runner:
                 outs[k].append(out[k])
             normals_acc.append(_normal_map_device(
                 out["gradients"], out["weights"], out["inside_sphere"]))
-        res = {k: np.concatenate([np.asarray(c) for c in v])[:n]
-               .reshape(H, W, -1) for k, v in outs.items()}
-        res["normals"] = np.concatenate(
-            [np.asarray(c) for c in normals_acc])[:n].reshape(H, W, 3)
+        res = {k: fetch_concat(v, n).reshape(H, W, -1)
+               for k, v in outs.items()}
+        res["normals"] = fetch_concat(normals_acc, n).reshape(H, W, 3)
         return res
 
     def validate_image(self, idx: int = -1, resolution_level: int = -1):

@@ -25,7 +25,7 @@ from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage2
 from .common import (BlockStepper, TrainConfig, boundary_metrics,
-                     init_all_params, val_chunk_size)
+                     fetch_concat, init_all_params, val_chunk_size)
 from .runner1 import CKPT_KEYS
 
 STAGE2_KEYS = dict(CKPT_KEYS, lvis="lvis_network", indirect="indiLgt_network")
@@ -184,8 +184,7 @@ class Runner:
                                   jax.random.fold_in(key, i))
             for k in acc:               # keep device arrays; fetch after the
                 acc[k].append(out[k])   # loop so transfers overlap compute
-        return {k: np.concatenate([np.asarray(c) for c in v])[:n]
-                for k, v in acc.items()}, H, W
+        return {k: fetch_concat(v, n) for k, v in acc.items()}, H, W
 
     def validate_image(self, idx: int = -1, resolution_level: int = -1):
         if idx < 0:

@@ -27,7 +27,7 @@ from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage3
 from .common import (BlockStepper, TrainConfig, boundary_metrics,
-                     init_all_params, val_chunk_size)
+                     fetch_concat, init_all_params, val_chunk_size)
 from .runner1 import CKPT_KEYS
 from .runner2 import STAGE2_KEYS
 
@@ -198,8 +198,8 @@ class Runner:
                                   jax.random.fold_in(key, i))
             for k in _VAL_KEYS:         # keep device arrays; fetch after the
                 acc[k].append(out[k])   # loop so transfers overlap compute
-        res = {k: np.concatenate([np.asarray(c) for c in v])[:n]
-               .reshape(H, W, -1) for k, v in acc.items()}
+        res = {k: fetch_concat(v, n).reshape(H, W, -1)
+               for k, v in acc.items()}
         return res
 
     # -- validation panels ---------------------------------------------------

@@ -149,16 +149,26 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return out
 
 
-def wait_for_async_saves() -> None:
-    """Block until any in-flight async checkpoint write has finished.
-    Re-raises an error from the background writer (e.g. disk full) so a
-    failed save surfaces on the training thread instead of vanishing."""
+def _join_writer(clear_error: bool = True) -> Optional[BaseException]:
+    """Join any in-flight writer; return its error, if any (cleared unless
+    clear_error=False — read-only callers must leave it for the save/drain
+    sites to surface)."""
     global _ASYNC_ERROR
     t = _ASYNC_THREAD
     if t is not None:
         t.join()
-    if _ASYNC_ERROR is not None:
-        err, _ASYNC_ERROR = _ASYNC_ERROR, None
+    err = _ASYNC_ERROR
+    if clear_error:
+        _ASYNC_ERROR = None
+    return err
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint write has finished.
+    Re-raises an error from the background writer (e.g. disk full) so a
+    failed save surfaces on the training thread instead of vanishing."""
+    err = _join_writer()
+    if err is not None:
         raise RuntimeError("async checkpoint write failed") from err
 
 
@@ -186,7 +196,9 @@ def save_checkpoint_async(base_exp_dir: str, iter_step: int,
 
     snapped = {name: jax.tree_util.tree_map(snap, tree)
                for name, tree in groups.items()}
-    wait_for_async_saves()
+    prev_err = _join_writer()   # join BEFORE raising: a transient failure
+                                # of the previous write must not also drop
+                                # THIS (healthy) checkpoint
 
     def write():
         global _ASYNC_ERROR
@@ -199,6 +211,8 @@ def save_checkpoint_async(base_exp_dir: str, iter_step: int,
                          daemon=False)
     t.start()
     _ASYNC_THREAD = t
+    if prev_err is not None:
+        raise RuntimeError("async checkpoint write failed") from prev_err
 
 
 _CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
@@ -208,7 +222,11 @@ def latest_checkpoint(base_exp_dir: str,
                       end_iter: Optional[int] = None) -> Optional[str]:
     """Newest stamped checkpoint <= end_iter, or None.
     ref:exp_runner.py:107-118."""
-    wait_for_async_saves()      # an in-flight async write may be the newest
+    # an in-flight async write may be the newest file: join it, but do NOT
+    # re-raise (or clear) a stale writer error here — this is a read-only
+    # lookup, possibly for an unrelated directory; errors surface at the
+    # save and drain sites, which know which write they belong to
+    _join_writer(clear_error=False)
     ckpt_dir = os.path.join(base_exp_dir, "checkpoints")
     if not os.path.isdir(ckpt_dir):
         return None

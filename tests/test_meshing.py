@@ -168,7 +168,10 @@ def test_make_sdf_grid_query_matches_plain_and_shards():
         sdf=F.SDFConfig(n_layers=2, d_hidden=32, d_out=33, skip_in=(),
                         multires=4))
     params = init_all_params(jax.random.PRNGKey(0), cfg)
-    query = make_sdf_grid_query(params["sdf"], cfg.sdf)
+    # chunk=64 forces the production lax.map + tail-padding branch of
+    # chunked_apply (257 and 24^2*8-point calls would otherwise take the
+    # single-call early-out and leave the chunked path untested)
+    query = make_sdf_grid_query(params["sdf"], cfg.sdf, chunk=64)
 
     pts = jax.random.normal(jax.random.PRNGKey(1), (257, 3))
     np.testing.assert_allclose(
@@ -183,17 +186,17 @@ def test_make_sdf_grid_query_matches_plain_and_shards():
 
 
 def test_f16_transfer_mesh_matches_f32():
-    """float16 wire dtype (the default) moves iso-surface vertices by less
-    than 1e-3 of a cell vs a bit-exact f32 fill."""
+    """float16 wire dtype (extract_geometry's default) moves iso-surface
+    vertices by less than 1e-3 of a cell vs a bit-exact f32 fill."""
     import jax.numpy as jnp
 
     def query(pts):
         return -(jnp.linalg.norm(pts, axis=-1) - 0.5) \
             + 0.05 * jnp.sin(4.0 * pts[..., 0])
 
-    u16 = extract_fields([-1.0] * 3, [1.0] * 3, 40, query, slab=16)
-    u32 = extract_fields([-1.0] * 3, [1.0] * 3, 40, query, slab=16,
-                         transfer_dtype=jnp.float32)
+    u16 = extract_fields([-1.0] * 3, [1.0] * 3, 40, query, slab=16,
+                         transfer_dtype=jnp.float16)
+    u32 = extract_fields([-1.0] * 3, [1.0] * 3, 40, query, slab=16)
     cell = 2.0 / 39
     assert np.abs(u16 - u32).max() < 2e-3          # f16 rounding only
     from factored_neus_tpu.meshing.extract import _mc_native

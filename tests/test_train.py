@@ -346,5 +346,16 @@ def test_async_checkpoint_save(tmp_path):
     bad = tmp_path / "file_in_the_way"
     bad.write_text("x")
     CK.save_checkpoint_async(str(bad / "sub"), 1, {"iter_step": 1})
+    # a previous failure must NOT drop the next (healthy) save: the new
+    # write starts before the old error re-raises
+    good = tmp_path / "recovered"
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        CK.save_checkpoint_async(str(good), 2, {"iter_step": 2})
+    CK.wait_for_async_saves()
+    assert CK.latest_checkpoint(str(good)).endswith("ckpt_000002.npz")
+
+    # read-only lookups never raise (nor clear) stale writer errors
+    CK.save_checkpoint_async(str(bad / "sub2"), 3, {"iter_step": 3})
+    assert CK.latest_checkpoint(str(tmp_path / "nowhere")) is None
     with pytest.raises(RuntimeError, match="async checkpoint"):
         CK.wait_for_async_saves()
