@@ -359,3 +359,23 @@ def test_async_checkpoint_save(tmp_path):
     assert CK.latest_checkpoint(str(tmp_path / "nowhere")) is None
     with pytest.raises(RuntimeError, match="async checkpoint"):
         CK.wait_for_async_saves()
+
+
+def test_normal_map_device_matches_host_formula():
+    """runner1's device-side normal reduction equals the reference's host
+    formula (ref:exp_runner.py:325-328) it replaced."""
+    import jax
+    from factored_neus_tpu.train.runner1 import _normal_map_device
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, n_total, n_with_bg = 7, 5, 9
+    gradients = jax.random.normal(k1, (B, n_total, 3))
+    weights = jax.random.uniform(k2, (B, n_with_bg))
+    inside = (jax.random.uniform(k3, (B, n_total)) > 0.5).astype(jnp.float32)
+
+    got = np.asarray(_normal_map_device(gradients, weights, inside))
+    want = (np.asarray(gradients)
+            * np.asarray(weights)[:, :n_total, None]
+            * np.asarray(inside)[..., None]).sum(1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
