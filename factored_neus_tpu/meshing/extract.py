@@ -117,7 +117,7 @@ def extract_fields(bound_min, bound_max, resolution: int, query_fn,
             pad = slab - (end - start)
             x_block = jnp.concatenate([x_block, jnp.full((pad,), xs[-1])])
         pending.append((start, end, eval_slab(x_block)))
-        if len(pending) > MAX_IN_FLIGHT:
+        if len(pending) >= MAX_IN_FLIGHT:
             drain_one()
     while pending:
         drain_one()
@@ -137,6 +137,13 @@ def extract_geometry(bound_min, bound_max, resolution: int, threshold: float,
     pass jnp.float32 for a bit-exact grid."""
     u = extract_fields(bound_min, bound_max, resolution, query_fn, slab=slab,
                        mesh=mesh, transfer_dtype=transfer_dtype)
+    if transfer_dtype != jnp.float32 and not np.isfinite(u).all():
+        import logging
+        logging.getLogger("factored_neus_tpu").warning(
+            "grid contains non-finite values after %s wire conversion — "
+            "a query exceeding the dtype's range (f16 max 65504) overflows "
+            "to inf; pass transfer_dtype=jnp.float32 for such fields",
+            np.dtype(transfer_dtype).name)
     verts, tris = _mc_native(u, float(threshold))
     b_min = np.asarray(bound_min, np.float32)
     b_max = np.asarray(bound_max, np.float32)

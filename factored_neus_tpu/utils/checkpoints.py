@@ -15,8 +15,10 @@ temp-file rename.
 """
 from __future__ import annotations
 
+import atexit
 import io
 import json
+import logging
 import os
 import re
 import threading
@@ -30,6 +32,19 @@ _SEP = "/"
 # single in-flight async writer (runners are single-threaded savers)
 _ASYNC_THREAD: Optional[threading.Thread] = None
 _ASYNC_ERROR: Optional[BaseException] = None
+
+
+@atexit.register
+def _drain_at_exit() -> None:
+    """Last line of defense: if the process exits with a failed write still
+    pending (e.g. the final save_checkpoint was the last statement), make
+    the failure loud on stderr — the write() thread already logged it, but
+    logging may be torn down or redirected by then."""
+    err = _join_writer(clear_error=False)
+    if err is not None:
+        import sys
+        print(f"ERROR: async checkpoint write FAILED and was never "
+              f"drained: {err!r}", file=sys.stderr)
 
 
 def _flatten(tree) -> Dict[str, np.ndarray]:
@@ -204,8 +219,15 @@ def save_checkpoint_async(base_exp_dir: str, iter_step: int,
         global _ASYNC_ERROR
         try:
             save_checkpoint(base_exp_dir, iter_step, snapped)
-        except BaseException as e:                    # surfaced by the next
-            _ASYNC_ERROR = e                          # wait_for_async_saves
+        except BaseException as e:
+            # log IMMEDIATELY (a failed save whose process exits before the
+            # next drain must not be silent), then store for re-raise at the
+            # next save/drain; strip the traceback so the stored exception
+            # does not pin the full device+host snapshot via frame refs
+            logging.getLogger("factored_neus_tpu").error(
+                "async checkpoint write to %s (iter %d) FAILED: %s",
+                base_exp_dir, iter_step, e, exc_info=True)
+            _ASYNC_ERROR = e.with_traceback(None)
 
     t = threading.Thread(target=write, name=f"ckpt-writer-{iter_step}",
                          daemon=False)
@@ -225,8 +247,15 @@ def latest_checkpoint(base_exp_dir: str,
     # an in-flight async write may be the newest file: join it, but do NOT
     # re-raise (or clear) a stale writer error here — this is a read-only
     # lookup, possibly for an unrelated directory; errors surface at the
-    # save and drain sites, which know which write they belong to
-    _join_writer(clear_error=False)
+    # save and drain sites, which know which write they belong to.  Warn,
+    # though: if the failed write was this directory's newest checkpoint,
+    # the caller is about to chain from a stale one.
+    pending_err = _join_writer(clear_error=False)
+    if pending_err is not None:
+        logging.getLogger("factored_neus_tpu").warning(
+            "scanning %s for checkpoints while an async write has FAILED "
+            "(%s) — the newest checkpoint may be missing", base_exp_dir,
+            pending_err)
     ckpt_dir = os.path.join(base_exp_dir, "checkpoints")
     if not os.path.isdir(ckpt_dir):
         return None
