@@ -295,12 +295,51 @@ def main():
         }), flush=True)
         return True
 
-    # stage-1 line FIRST (the driver parses the first line); stages 2/3
-    # follow so the artifact records all three training surfaces
+    def run_infer(chunk=8192, reps=10):
+        """Forward-only (serving/validation) render throughput — the
+        inference surface; no optimizer/backward working set."""
+        from factored_neus_tpu.models.renderer import RendererConfig
+        from factored_neus_tpu.train import stage1
+        from factored_neus_tpu.train.common import TrainConfig, \
+            init_all_params
+        cfg = RendererConfig(n_samples=64, n_importance=64, n_outside=0,
+                             up_sample_steps=4)
+        params = init_all_params(jax.random.PRNGKey(0), cfg)
+        fn = stage1.make_render_fn(cfg, TrainConfig(), mesh=None)
+        ang = jnp.linspace(-0.3, 0.3, chunk)
+        ro = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (chunk, 1))
+        rd = jnp.stack([jnp.sin(ang), jnp.zeros(chunk), jnp.cos(ang)], -1)
+        mid = -jnp.sum(ro * rd, -1, keepdims=True) \
+            / jnp.sum(rd ** 2, -1, keepdims=True)
+        near, far = mid - 1.0, mid + 1.0
+        try:
+            out = fn(params, ro, rd, near, far, jnp.asarray(0))
+            float(jnp.ravel(out["color_fine"])[-1])
+            t0 = time.perf_counter()
+            for i in range(reps):
+                out = fn(params, ro, rd, near, far, jnp.asarray(i))
+            float(jnp.ravel(out["color_fine"])[-1])
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "stage1_forward_render_rays_per_sec_per_chip",
+                "value": round(reps * chunk / dt, 1), "unit": "rays/s",
+                "chunk": chunk,
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "stage1_forward_render_rays_per_sec_per_chip",
+                "value": None, "unit": "rays/s",
+                "note": f"{type(e).__name__}: {e}"[:200],
+            }), flush=True)
+
+    # stage-1 line FIRST (the driver parses the first line); stages 2/3 and
+    # the forward-render (serving) line follow so the artifact records every
+    # training surface plus the inference surface
     ok = run_stage("stage1", with_mfu=True)
     if "--stage1" not in args and ok:
         run_stage("stage2", with_mfu=False)
         run_stage("stage3", with_mfu=False)
+        run_infer()
 
 
 if __name__ == "__main__":
