@@ -252,12 +252,18 @@ class NeRFConfig:
 
     @property
     def input_ch(self) -> int:
-        return self.d_in * (1 + 2 * self.multires) if self.multires > 0 else 3
+        # multires=0 means identity encoding, so the layer takes d_in
+        # channels. (The reference hardcodes 3 here, ref:fields.py:195 —
+        # self-consistent there only because its d_in defaults to 3; with
+        # our d_in=4 inverted-sphere default the d_in fallback is the one
+        # that matches nerf_apply's identity path.)
+        return self.d_in * (1 + 2 * self.multires) if self.multires > 0 \
+            else self.d_in
 
     @property
     def input_ch_view(self) -> int:
         return (self.d_in_view * (1 + 2 * self.multires_view)
-                if self.multires_view > 0 else 3)
+                if self.multires_view > 0 else self.d_in_view)
 
 
 def nerf_init(key, cfg: NeRFConfig):

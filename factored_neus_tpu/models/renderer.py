@@ -97,10 +97,6 @@ class RendererConfig:
 
 # -- network closures over the params dict -----------------------------------
 
-def _sdf_fwd(params, cfg):
-    return lambda p: F.sdf_value(params["sdf"], cfg.sdf, p)
-
-
 def _sdf_fwd_sampling(params, cfg, bf16_act: bool = False):
     """SDF forward for no-grad sampling sweeps: fused Pallas kernel when
     enabled (single-pass bf16 MXU; the ~1e-2 sdf error only nudges where
@@ -221,15 +217,9 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
     inv_s = jnp.clip(F.variance_inv_s(params["variance"]), 1e-6, 1e6)
 
     true_cos = jnp.sum(dirs_flat * gradients, -1, keepdims=True)
-    iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
-                 + jax.nn.relu(-true_cos) * cos_anneal_ratio)
-
-    est_next = sdf + iter_cos * dists.reshape(-1, 1) * 0.5
-    est_prev = sdf - iter_cos * dists.reshape(-1, 1) * 0.5
-    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
-    next_cdf = jax.nn.sigmoid(est_next * inv_s)
-    alpha = jnp.clip(((prev_cdf - next_cdf + 1e-5)
-                      / (prev_cdf + 1e-5)).reshape(B, T), 0.0, 1.0)
+    alpha, prev_cdf = S.neus_alpha(sdf, true_cos, dists.reshape(-1, 1),
+                                   inv_s, cos_anneal_ratio)
+    alpha = alpha.reshape(B, T)
 
     pts_norm = jnp.linalg.norm(pts, axis=-1)                     # [B, T]
     inside_sphere = jax.lax.stop_gradient(
@@ -268,12 +258,15 @@ def render_core(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
     feat_bt = feature.reshape(B, T, -1)
     p_lo, p_hi = gather2(pts_bt)
     n_lo, n_hi = gather2(grads_bt)
-    d_lo, d_hi = gather2(dirs)
     f_lo, f_hi = gather2(feat_bt)
 
     ref_in_pts = jnp.concatenate([p_lo, p_hi], 0)
     ref_in_n = jnp.concatenate([n_lo, n_hi], 0)
-    ref_in_d = jnp.concatenate([d_lo, d_hi], 0)
+    # every sample along a ray shares the ray's direction, so gathering
+    # lo/hi from the broadcast `dirs` is the identity — skip both gathers
+    # (the reference gathers because it operates on a masked subset,
+    # ref:renderer.py:300-307)
+    ref_in_d = jnp.concatenate([rays_d, rays_d], 0)
     ref_in_f = jnp.concatenate([f_lo, f_hi], 0)
     ref = F.refcolor_apply(params["ref_color"], cfg.refcolor,
                            ref_in_pts, ref_in_f, ref_in_d, ref_in_n)

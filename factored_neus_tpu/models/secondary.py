@@ -15,8 +15,7 @@ SDF sweeps are chunked with lax.map to bound the activation working set.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -98,13 +97,7 @@ def compute_weight(sdf_fwd, sdf_grad, inv_s, rays_o, rays_d, z_vals,
     grads = jax.lax.stop_gradient(
         chunked_apply(sdf_grad, pts_flat, chunk)).reshape(B, T, 3)
 
-    true_cos = jnp.sum(dirs * grads, -1)
-    iter_cos = -jax.nn.relu(-true_cos * 0.5 + 0.5)    # cos_anneal_ratio = 0
-    est_next = sdf + iter_cos * dists * 0.5
-    est_prev = sdf - iter_cos * dists * 0.5
-    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
-    next_cdf = jax.nn.sigmoid(est_next * inv_s)
-    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    alpha, _ = S.neus_alpha(sdf, jnp.sum(dirs * grads, -1), dists, inv_s)
 
     inside = (jnp.linalg.norm(pts, axis=-1) < 1.0).astype(z_vals.dtype)
     weights = S.alpha_to_weights(alpha)
@@ -162,14 +155,7 @@ def fine_sweep_targets(sdf_vgf, color_fn, inv_s, rays_o, rays_d, z_vals,
     grads = grads_f.reshape(B, T, 3)
 
     # --- NeuS weights along the secondary ray (compute_weight formulas) ---
-    true_cos = jnp.sum(dirs * grads, -1)
-    iter_cos = -jax.nn.relu(-true_cos * 0.5 + 0.5)    # cos_anneal_ratio = 0
-    est_next = sdf + iter_cos * dists * 0.5
-    est_prev = sdf - iter_cos * dists * 0.5
-    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
-    next_cdf = jax.nn.sigmoid(est_next * inv_s)
-    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5),
-                     0.0, 1.0)
+    alpha, _ = S.neus_alpha(sdf, jnp.sum(dirs * grads, -1), dists, inv_s)
     inside = jnp.linalg.norm(pts, axis=-1) < 1.0
     weights = S.alpha_to_weights(alpha)
     weights_inside = weights * inside.astype(z_vals.dtype)

@@ -63,11 +63,11 @@ def srgb_to_linear(srgb: jnp.ndarray) -> jnp.ndarray:
 def rgb_to_hsv(x: jnp.ndarray):
     """RGB -> (h, s, v) channels, each [..., 1]. ref:models/math_utils.py:155-177.
 
-    Vectorized `where` formulation of the reference's boolean-mask scatter
-    (priority order r > g > b to match `v==r` first-write semantics there the
-    masks are disjoint unless channels tie; ties resolve to the earlier mask
-    in the reference because later writes overwrite — we mirror that with
-    nested where in reverse order).
+    Vectorized `where` formulation of the reference's boolean-mask scatter.
+    The masks are disjoint unless channels tie; the reference writes r,
+    then g, then b, so ties resolve to the LAST write (b wins) — mirrored
+    here by applying the selects in the same order (each later `where`
+    overwrites the earlier value on its mask).
     """
     c_max = jnp.max(x, axis=-1, keepdims=True)
     c_min = jnp.min(x, axis=-1, keepdims=True)
@@ -79,9 +79,9 @@ def rgb_to_hsv(x: jnp.ndarray):
     h_g = 120.0 + 60.0 * (b - r) / denom
     h_b = 240.0 + 60.0 * (r - g) / denom
     h = jnp.zeros_like(v)
-    h = jnp.where(v == b, h_b, h)
-    h = jnp.where(v == g, h_g, h)
     h = jnp.where(v == r, h_r, h)
+    h = jnp.where(v == g, h_g, h)
+    h = jnp.where(v == b, h_b, h)
     return h, s, v
 
 

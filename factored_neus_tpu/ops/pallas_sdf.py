@@ -236,6 +236,10 @@ def sdf_forward_pallas(params, cfg: "SDFConfig", pts: jnp.ndarray,
             out_specs=pl.BlockSpec((block_rows, out_cols), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, out_cols), jnp.float32),
+            # interpret off-TPU, like the pallas_geometry/radiance kernels:
+            # use_pallas_sampling=True must run (slowly) on CPU/GPU hosts
+            # rather than fail Mosaic lowering
+            interpret=not on_tpu(),
         )(pts_in, *ws_in, *bs_in)
 
     # explicit stop-gradient semantics: zero tangents so the kernel is

@@ -107,6 +107,25 @@ def neus_section_weights(z_vals: jnp.ndarray, sdf: jnp.ndarray,
     return alpha_to_weights(alpha)
 
 
+def neus_alpha(sdf, true_cos, dists, inv_s,
+               cos_anneal_ratio: float = 0.0) -> jnp.ndarray:
+    """NeuS section alpha from the SDF and its directional derivative
+    estimate: sigmoid-CDF ratio of section-endpoint SDF estimates
+    (ref:models/renderer.py:248-268).  Secondary rays fix
+    cos_anneal_ratio=0 (ref:models/calLvis.py:113-137).  Shape-agnostic:
+    sdf/true_cos/dists broadcast together ([B,T] or flat [N,1]).
+    Returns (alpha, prev_cdf) — prev_cdf feeds the cdf_fine statistic."""
+    iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+                 + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+    est_next = sdf + iter_cos * dists * 0.5
+    est_prev = sdf - iter_cos * dists * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5),
+                     0.0, 1.0)
+    return alpha, prev_cdf
+
+
 def alpha_to_weights(alpha: jnp.ndarray) -> jnp.ndarray:
     """w_i = a_i * prod_{j<i}(1 - a_j + 1e-7).  ref:models/renderer.py:185-186."""
     B = alpha.shape[0]
