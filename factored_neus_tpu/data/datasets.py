@@ -53,12 +53,24 @@ class BaseDataset:
     mask_ones = False
     sample_roi_prob = 0.0
     roi_boxes = None
+    # channel order of the loaded image stack: cv-loaded datasets
+    # (DTU/Sk3d/Glossy*) train in BGR like the reference; EXR/imageio
+    # datasets (Synthetic/Shiny) are RGB — video writers must know which
+    color_bgr = True
 
     def _finalize(self, images_np, masks_np, intrinsics_np, poses_np):
         self.images_np = images_np
         self.masks_np = masks_np
         self.images = jnp.asarray(images_np, jnp.float32)
-        self.masks = jnp.asarray(masks_np, jnp.float32)
+        if self.mask_ones:
+            # the 255/256 constant path never gathers from the mask stack
+            # (rays.py mask_ones branch), so don't hold a full-resolution
+            # all-ones array in HBM — a broadcastable stand-in keeps the
+            # data-dict signature without the memory (a 100-view 2368x1952
+            # sk3d scan would waste ~5 GB)
+            self.masks = jnp.ones((len(images_np), 1, 1, 3), jnp.float32)
+        else:
+            self.masks = jnp.asarray(masks_np, jnp.float32)
         intr = np.asarray(intrinsics_np, np.float32)
         if intr.shape[-1] == 3:          # pad 3x3 K to 4x4
             intr4 = np.tile(np.eye(4, dtype=np.float32), (len(intr), 1, 1))
@@ -85,7 +97,10 @@ class BaseDataset:
             key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
         roi_boxes = None
         if self.sample_roi_prob > 0.0 and self.roi_boxes is not None:
-            roi_boxes = jnp.asarray(np.stack(self.roi_boxes), jnp.int32)
+            if not hasattr(self, "_roi_boxes_dev"):   # cache the upload —
+                self._roi_boxes_dev = jnp.asarray(    # constant per dataset
+                    np.stack(self.roi_boxes), jnp.int32)
+            roi_boxes = self._roi_boxes_dev
         return R.gen_random_rays(
             key, self.images, self.masks, self.intrinsics_all_inv,
             self.pose_all, jnp.asarray(img_idx), batch_size,
@@ -179,7 +194,8 @@ class Sk3dDataset(BaseDataset):
             K, pose = load_K_Rt_from_P((world_mat @ scale_mat)[:3, :4])
             intr.append(K)
             poses.append(pose)
-        masks_np = np.ones_like(images_np, dtype=np.float32)
+        # mask_ones: the broadcastable stand-in from _finalize is enough
+        masks_np = np.ones((n, 1, 1, 3), dtype=np.float32)
         self._finalize(images_np.astype(np.float32), masks_np,
                        np.stack(intr), np.stack(poses))
 
@@ -207,6 +223,8 @@ class SyntheticDataset(BaseDataset):
     """Blender-style transforms_{split}.json with EXR rgb (train) and
     albedo/roughness GT (test). ref:dataset.py:370-519."""
 
+    color_bgr = False          # load_rgb/imageio: RGB channel order
+
     def __init__(self, conf, frame_skip: int = 1, split: str = "train"):
         self.conf = conf
         self.split = split
@@ -232,9 +250,20 @@ class SyntheticDataset(BaseDataset):
         img_h, img_w = first.shape[:2]
         focal = 0.5 * img_w / np.tan(0.5 * float(meta["camera_angle_x"]))
         poses = np.array(poses)
-        poses[..., 3] /= 2.0                          # scale 2, ref:409-410
+        # scale 2, ref:409-410. The reference divides poses[..., 3] — the
+        # whole 4th column, leaving the homogeneous row [0,0,0,0.5]; that is
+        # harmless there (only pose[:3] is ever read) but corrupts any full
+        # 4x4 inversion (our gen_rays_between pose interpolation), so divide
+        # the translation only — identical for every reference-covered use.
+        poses[..., :3, 3] /= 2.0
         image_paths = image_paths[::frame_skip]
         poses = poses[::frame_skip]
+        # the reference skips only images+poses (ref:413-414) and would
+        # reshape-error on frame_skip>1; skipping the per-frame GT lists
+        # together keeps them aligned
+        mask_paths = mask_paths[::frame_skip]
+        rough_paths = rough_paths[::frame_skip]
+        albedo_paths = albedo_paths[::frame_skip]
         self.images_lis = self.image_paths = image_paths
 
         K = np.array([[focal, 0, img_w / 2], [0, focal, img_h / 2],
@@ -293,10 +322,11 @@ class ShinyDataset(SyntheticDataset):
         img_h, img_w = first.shape[:2]
         focal = 0.5 * img_w / np.tan(0.5 * float(meta["camera_angle_x"]))
         poses = np.array(poses)
-        poses[..., 3] /= 2.0
+        poses[..., :3, 3] /= 2.0        # translation only; see SyntheticDataset
         self.scale_mat = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
         image_paths = image_paths[::frame_skip]
         poses = poses[::frame_skip]
+        mask_paths = mask_paths[::frame_skip]   # keep GT aligned with images
         self.images_lis = self.image_paths = image_paths
 
         images_np = np.stack([I.load_rgb(p) for p in image_paths])
@@ -353,10 +383,7 @@ class GlossySyntheticDataset(BaseDataset):
         self.object_bbox_min = np.array([-1.01, -1.01, -1.01])
         self.object_bbox_max = np.array([1.01, 1.01, 1.01])
 
-    def image_at(self, idx, resolution_level):
-        img = self.images_np[idx] * 256.0
-        return np.clip(I.imresize(img, self.W // resolution_level,
-                                  self.H // resolution_level), 0, 255)
+    # image_at: BaseDataset's (images_np * 256, resize, clip) is exact
 
 
 # per-scene gravity frame for NeRO glossy-real captures
@@ -462,6 +489,11 @@ DATASET_TYPES = {
     # stage-2/3 aliases
     "synthetic": SyntheticDataset,
     "shiny": ShinyDataset,
+    # the reference branches on type == 'shiny_refneus' for the online
+    # Chamfer mesh eval (ref:exp_runner.py:210) but its own dataset
+    # dispatch (ref:exp_runner.py:44-54) cannot construct that type —
+    # mapping it to ShinyDataset makes validate_mesh_shiny reachable
+    "shiny_refneus": ShinyDataset,
 }
 
 

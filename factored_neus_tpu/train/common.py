@@ -39,6 +39,10 @@ class TrainConfig:
     end_iter: int = 300000
     batch_size: int = 512
     validate_resolution_level: int = 4
+    # NOTE: the conf path (from_conf) defaults warm_up_end to 0.0, matching
+    # the reference's conf.get_float('train.warm_up_end', default=0.0)
+    # (ref:exp_runner.py:69); 5000.0 here is the library-API default
+    # mirroring confs/wmask.conf's explicit value
     warm_up_end: float = 5000.0
     anneal_end: float = 0.0
     use_white_bkgd: bool = False

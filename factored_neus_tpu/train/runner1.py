@@ -413,9 +413,10 @@ class Runner:
                                                   ratio, resolution_level=4))
         images += images[::-1]
         video_dir = os.path.join(self.base_exp_dir, "render")
-        # frames are in the dataset's native (cv/BGR) channel order, like
-        # the reference's cv.VideoWriter path
+        # frames come out in the dataset's native channel order: cv-loaded
+        # datasets are BGR (like the reference's cv.VideoWriter path),
+        # EXR/imageio datasets are RGB
         write_video(
             os.path.join(video_dir,
                          f"{self.iter_step:08d}_{img_idx_0}_{img_idx_1}.mp4"),
-            images, fps=30, bgr=True)
+            images, fps=30, bgr=self.dataset.color_bgr)

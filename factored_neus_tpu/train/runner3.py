@@ -335,6 +335,10 @@ class Runner:
         IMG.imwrite(os.path.join(out, f"preAlbedo_{idx}.png"),
                     tm(r["diffuse_albedo"]))
         mask = np.asarray(self.dataset.masks[idx])
+        if mask.shape[:2] != (self.dataset.H, self.dataset.W):
+            # mask_ones datasets hold a broadcastable [1,1,3] stand-in
+            mask = np.broadcast_to(mask,
+                                   (self.dataset.H, self.dataset.W, 3))
         IMG.imwrite(os.path.join(out, f"mask_{idx}.png"), mask * 255)
         IMG.imwrite(os.path.join(out, f"r_{idx}.png"),
                     (r["roughness"] * 255).clip(0, 255))

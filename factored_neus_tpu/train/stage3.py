@@ -29,6 +29,8 @@ def make_train_step(cfg: R.RendererConfig, tcfg: TrainConfig,
     tx = make_optimizer(tcfg, stage=3)
     n_dev = 1 if mesh is None else mesh.devices.size
     local_batch = tcfg.batch_size // n_dev
+    assert local_batch * n_dev == tcfg.batch_size, \
+        f"batch {tcfg.batch_size} not divisible by {n_dev} devices"
 
     def loss_fn(params, data, img_idx, key, step):
         key = SH.device_key(key, mesh)
