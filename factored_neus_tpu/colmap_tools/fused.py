@@ -80,16 +80,22 @@ def read_fused(ply_path: str, vis_path: str, as_arrays: bool = False):
     words = np.frombuffer(raw[8:], "<u4")
     counts = np.empty(n, np.int64)
     starts = np.empty(n, np.int64)
+    # offset scan over a plain-int list: numpy scalar indexing costs ~1 us
+    # per element, which is tens of seconds on a 10M-point cloud; python
+    # ints are ~10x faster here
+    wlist = words.tolist()
+    n_words = len(wlist)
     pos = 0
-    for i in range(n):          # offsets only — O(n) scalar ops, no I/O
-        if pos >= len(words):
+    for i in range(n):
+        if pos >= n_words:
             raise ValueError(
                 f"truncated .vis data in {vis_path}: point {i}/{n} starts "
                 f"past end of stream")
-        counts[i] = words[pos]
+        c = wlist[pos]
+        counts[i] = c
         starts[i] = pos + 1
-        pos += 1 + counts[i]
-    if pos != len(words):
+        pos += 1 + c
+    if pos != n_words:
         raise ValueError(f"trailing/truncated .vis data in {vis_path}")
     if as_arrays:
         keep = np.ones(len(words), bool)

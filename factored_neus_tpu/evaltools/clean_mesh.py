@@ -16,16 +16,12 @@ import numpy as np
 
 
 def _dilate_ellipse(mask: np.ndarray, ksize: int = 25) -> np.ndarray:
-    try:
-        import cv2 as cv
-        kernel = cv.getStructuringElement(cv.MORPH_ELLIPSE, (ksize, ksize))
-        return cv.dilate(mask.astype(np.uint8), kernel, iterations=1)
-    except Exception:                                 # pragma: no cover
-        from scipy import ndimage
-        r = ksize // 2
-        y, x = np.ogrid[-r:r + 1, -r:r + 1]
-        struct = (x * x + y * y) <= r * r
-        return ndimage.binary_dilation(mask, structure=struct).astype(np.uint8)
+    # cv2 only: the sole caller already imports cv2 before reaching here,
+    # so a fallback path could never run (and the scipy one previously
+    # kept was rank/scale-broken — removed rather than maintained dead)
+    import cv2 as cv
+    kernel = cv.getStructuringElement(cv.MORPH_ELLIPSE, (ksize, ksize))
+    return cv.dilate(mask.astype(np.uint8), kernel, iterations=1)
 
 
 def clean_points_by_mask(points: np.ndarray, cameras_npz: str,
@@ -58,27 +54,21 @@ def clean_points_by_mask(points: np.ndarray, cameras_npz: str,
 
 def largest_component(vertices: np.ndarray, faces: np.ndarray
                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """Keep the connected component with the most faces (union-find over
+    """Keep the connected component with the most faces (connectivity over
     shared vertices; the trimesh.split equivalent at
-    ref:clean_mesh_pose.py:70-71)."""
-    parent = np.arange(len(vertices))
+    ref:clean_mesh_pose.py:70-71).  Vectorized via scipy's
+    connected_components — the previous per-face python union-find took
+    minutes on a million-face DTU extraction."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
 
-    def find(a):
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
-
-    for f in faces:
-        r0 = find(f[0])
-        r1 = find(f[1])
-        r2 = find(f[2])
-        parent[r1] = r0
-        parent[r2] = r0
-
-    face_roots = np.array([find(f[0]) for f in faces])
+    n = len(vertices)
+    rows = np.concatenate([faces[:, 0], faces[:, 1]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2]])
+    adj = coo_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                     shape=(n, n))
+    _, labels = connected_components(adj, directed=False)
+    face_roots = labels[faces[:, 0]]
     roots, counts = np.unique(face_roots, return_counts=True)
     best = roots[np.argmax(counts)]
     keep_faces = faces[face_roots == best]

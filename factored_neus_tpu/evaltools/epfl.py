@@ -19,10 +19,17 @@ def sample_points_uniformly(vertices, triangles, n: int, seed: int = 0):
     """Area-weighted uniform surface samples (open3d's
     sample_points_uniformly equivalent)."""
     tri = vertices[triangles]
+    if len(tri) == 0:
+        raise ValueError(
+            "mesh has no triangles to sample (after bbox cropping the "
+            "mesh may not intersect the evaluation region)")
     v1 = tri[:, 1] - tri[:, 0]
     v2 = tri[:, 2] - tri[:, 0]
     area = 0.5 * np.linalg.norm(np.cross(v1, v2), axis=-1)
-    prob = area / max(area.sum(), 1e-12)
+    if area.sum() <= 0:
+        raise ValueError("mesh triangles all have zero area — nothing to "
+                         "sample")
+    prob = area / area.sum()
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(tri), size=n, p=prob)
     u = rng.random((n, 1))

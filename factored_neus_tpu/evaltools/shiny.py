@@ -57,8 +57,17 @@ def evaluation_shinyblender(vertices: np.ndarray, triangles: np.ndarray,
     stl_above = stl[above_stl]
 
     if nonvalid_bbox is not None:
+        # NOTE the reference's convention (ref:shiny_eval.py:243-248):
+        # element 0 is the UPPER corner, element 1 the LOWER — a
+        # conventional [min, max] box would silently disable the cull
         aa = np.asarray(nonvalid_bbox[0])
         bb = np.asarray(nonvalid_bbox[1])
+        if np.any(aa < bb):
+            import logging
+            logging.getLogger("factored_neus_tpu").warning(
+                "nonvalid_bbox upper corner %s < lower %s on some axis — "
+                "element 0 must be the UPPER corner (reference "
+                "convention); the cull will match nothing", aa, bb)
         in_bad = ((data_in_above >= bb) & (data_in_above <= aa)).sum(-1) == 3
         mask_val = ~in_bad
     else:

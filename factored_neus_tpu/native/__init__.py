@@ -20,6 +20,12 @@ def marching_cubes(grid: np.ndarray, iso: float = 0.0
     lib = load()
     g = np.ascontiguousarray(grid, dtype=np.float32)
     nx, ny, nz = g.shape
+    # the C++ edge-dedup cache packs two corner ids into one uint64 as
+    # (ka<<32)|kb — corner ids must fit 32 bits or distinct edges collide
+    if (nx + 1) * (ny + 1) * (nz + 1) >= (1 << 32):
+        raise ValueError(
+            f"grid {g.shape} exceeds the 32-bit corner-id limit of the "
+            "edge cache (~1600^3); tile the extraction instead")
     vp = ctypes.POINTER(ctypes.c_float)()
     tp = ctypes.POINTER(ctypes.c_int32)()
     nv = ctypes.c_int64()

@@ -27,10 +27,20 @@ def _needs_build() -> bool:
 
 
 def build() -> str:
+    # compile to a temp path then atomically rename: a concurrent process
+    # (parallel eval jobs on a fresh checkout) must never dlopen a
+    # half-written .so.  -march=native is safe because the .so is always
+    # built on the machine that loads it (it is gitignored, not shipped).
+    tmp = _SO + f".tmp.{os.getpid()}"
     cmd = (["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            "-pthread", "-o", _SO]
+            "-pthread", "-o", tmp]
            + [os.path.join(_DIR, s) for s in _SOURCES])
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(
+            f"native build failed (rc={e.returncode}):\n{e.stderr}") from e
+    os.replace(tmp, _SO)
     return _SO
 
 
@@ -41,7 +51,12 @@ def load() -> ctypes.CDLL:
             return _LIB
         if _needs_build():
             build()
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # stale binary from another machine/arch: rebuild locally
+            build()
+            lib = ctypes.CDLL(_SO)
 
         c_i64 = ctypes.c_int64
         c_f32p = ctypes.POINTER(ctypes.c_float)

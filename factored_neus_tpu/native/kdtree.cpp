@@ -160,6 +160,10 @@ void kdtree_query(const void* handle, const float* queries, int64_t m,
 void kdtree_query_radius_count(const void* handle, const float* queries,
                                int64_t m, float radius, int32_t* out_count) {
   const Tree* t = (const Tree*)handle;
+  if (t->n == 0) {  // empty tree: node 0 does not exist
+    for (int64_t i = 0; i < m; ++i) out_count[i] = 0;
+    return;
+  }
   float r2 = radius * radius;
   int n_threads = (int)std::max(1u, std::thread::hardware_concurrency());
   if (m < 4096) n_threads = 1;

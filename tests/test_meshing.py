@@ -204,3 +204,15 @@ def test_f16_transfer_mesh_matches_f32():
     v32, t32 = _mc_native(u32, 0.0)
     assert len(v16) == len(v32) and len(t16) == len(t32)
     assert np.abs(v16 - v32).max() < 1e-3 * cell * 39  # grid-index units
+
+
+def test_kdtree_empty_tree_queries():
+    """Empty point cloud: nearest queries return inf/-1 and radius counts
+    return 0 instead of dereferencing a nonexistent root node."""
+    from factored_neus_tpu.native import KDTree
+    t = KDTree(np.zeros((0, 3), np.float32))
+    q = np.array([[0.1, 0.2, 0.3]], np.float32)
+    d, i = t.query(q)
+    assert i[0] == -1 and not np.isfinite(d[0]) or d[0] > 1e30
+    cnt = t.query_radius_count(q, 0.5)
+    assert cnt[0] == 0
