@@ -285,6 +285,13 @@ class Runner:
         test_dataset = SyntheticDataset(self.conf["dataset"], split="test")
         if idx < 0:
             idx = np.random.randint(test_dataset.n_images)
+        if idx >= test_dataset.n_images:
+            # the per-case idx tables (ref:mateIllu.py:16-20) assume the
+            # published scenes' 200-image test splits; wrap for smaller ones
+            log.warning("test idx %d out of range for %d test images; "
+                        "using %d", idx, test_dataset.n_images,
+                        idx % test_dataset.n_images)
+            idx = idx % test_dataset.n_images
         r = self.render_decomposition(test_dataset, idx, resolution_level)
         gt_albedo = test_dataset.albedo[idx]
         gt_rgb = np.asarray(test_dataset.images[idx])
