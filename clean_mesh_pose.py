@@ -12,15 +12,21 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scene", type=str, required=True)
     parser.add_argument("--setting", type=str, required=True)
-    parser.add_argument("--suffix", default="")
+    parser.add_argument("--suffix", type=int, default=300000)
     parser.add_argument("--data_dir", type=str, default="./public_data/data_DTU")
     parser.add_argument("--exp_dir", type=str, default="./exp")
+    parser.add_argument("--case", type=str, default=None,
+                        help="experiment case name under exp_dir; defaults "
+                             "to the reference's data_DTU/dtu_scan<scene> "
+                             "layout (ref:clean_mesh_pose.py:49, "
+                             "sh_dtu.sh --case data_DTU/dtu_scanN)")
     args = parser.parse_args()
 
     scan = int(args.scene)
-    suffix = int(args.suffix)
-    old_dir = f"{args.exp_dir}/data_DTU/dtu_scan{scan}/{args.setting}/meshes/"
-    new_dir = f"{args.exp_dir}/data_DTU/dtu_scan{scan}/{args.setting}/meshes_clean/"
+    suffix = args.suffix
+    case = args.case if args.case is not None else f"data_DTU/dtu_scan{scan}"
+    old_dir = f"{args.exp_dir}/{case}/{args.setting}/meshes/"
+    new_dir = f"{args.exp_dir}/{case}/{args.setting}/meshes_clean/"
     os.makedirs(new_dir, exist_ok=True)
 
     verts, faces = read_ply_mesh(os.path.join(old_dir, f"{suffix:08d}.ply"))

@@ -15,10 +15,15 @@ def main():
     parser.add_argument("--dataset_dir", type=str,
                         default="./public_data/dtu_eval")
     parser.add_argument("--exp_dir", type=str, default="./exp")
+    parser.add_argument("--case", type=str, default=None,
+                        help="experiment case name under exp_dir; defaults "
+                             "to the reference's data_DTU/dtu_scan<scene> "
+                             "layout")
     args = parser.parse_args()
 
-    exp = os.path.join(args.exp_dir, f"data_DTU/dtu_scan{args.scene}",
-                       args.setting)
+    case = args.case if args.case is not None \
+        else f"data_DTU/dtu_scan{args.scene}"
+    exp = os.path.join(args.exp_dir, case, args.setting)
     mesh = os.path.join(exp, "meshes_clean", f"{args.suffix}.ply")
     d2s, s2d, overall = dtu.eval(mesh, args.scene, args.dataset_dir, exp)
     print(d2s, s2d, overall)

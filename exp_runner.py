@@ -29,7 +29,10 @@ def main():
     parser.add_argument("--case", type=str, default="")
     parser.add_argument("--type", type=str, default="dtu")
     parser.add_argument("--surface_weight", type=float, default=0.1)
-    parser.add_argument("--idx", type=int, default=0)
+    parser.add_argument("--idx", type=int, default=-1,
+                        help="view index for validate_image (-1: default "
+                             "view — 0 for dtu/sk3d, the reference's 57 "
+                             "for synthetic/shiny)")
     parser.add_argument("--shard", default=False, action="store_true",
                         help="shard the ray batch over all local devices")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
@@ -54,9 +57,13 @@ def main():
             runner.mesh_dtu_sphere2world(mesh_name="dtu122-300000")
         elif args.mode == "validate_image":
             if args.type in ("dtu", "sk3d"):
-                runner.validate_image(resolution_level=1, idx=args.idx)
+                runner.validate_image(resolution_level=1,
+                                      idx=max(args.idx, 0))
             else:
-                runner.validate_synthetic_img(idx=57, resolution_level=1)
+                # reference hardcodes view 57 (ref:exp_runner.py:677);
+                # honor an explicit --idx instead of silently ignoring it
+                idx = args.idx if args.idx >= 0 else 57
+                runner.validate_synthetic_img(idx=idx, resolution_level=1)
         elif args.mode.startswith("interpolate"):
             _, i0, i1 = args.mode.split("_")
             runner.interpolate_view(int(i0), int(i1))

@@ -30,8 +30,7 @@ from .models import renderer as R
 from .ops import sg as SG
 from .utils import checkpoints as CK
 from .utils import config as CFG
-from .train.common import fetch_concat, init_all_params
-from .train.runner1 import CKPT_KEYS
+from .train.common import chunked_render, init_all_params
 from .train.runner3 import STAGE3_KEYS
 
 
@@ -59,14 +58,21 @@ class Pipeline:
         """Load the newest checkpoints of the given stage (and everything it
         chains from)."""
         conf = CFG.load(conf_path, case)
+        # synthetic/shiny stages 2/3 train linear-space (tonemap 'none',
+        # like runner3); serving must render with the same tonemap or the
+        # outputs are silently gamma-shifted vs the trained checkpoint
+        tonemap = "none" if (stage >= 3 and type in (
+            "synthetic", "shiny", "indisg_synthetic", "indisg_shiny")) \
+            else "srgb"
         cfg = CFG.renderer_config(
-            conf, "model.lvis_renderer" if stage > 1 else "model.neus_renderer")
+            conf, "model.lvis_renderer" if stage > 1 else
+            "model.neus_renderer", tonemap=tonemap)
         params = init_all_params(jax.random.PRNGKey(0), cfg,
                                  CFG.variance_init_val(conf))
         dirs = {1: conf.get("general.base_exp_dir_geo"),
                 2: conf.get("general.base_exp_dir_lvis"),
                 3: conf.get("general.base_exp_dir_mateIllu")}
-        loaded_any = False
+        loaded_groups = set()
         for s in range(1, stage + 1):
             path = CK.latest_checkpoint(dirs[s]) if dirs.get(s) else None
             if path is None:
@@ -76,38 +82,36 @@ class Pipeline:
                 if ck in loaded:
                     params[pk] = jax.tree_util.tree_map(jnp.asarray,
                                                         loaded[ck])
-            loaded_any = True
-        if not loaded_any:
+                    loaded_groups.add(pk)
+        # every network the requested stage SERVES must come from a
+        # checkpoint — silently serving random-init stage-2/3 nets (when
+        # only stage 1 was trained) returns garbage with no error
+        need = {1: ("sdf", "color", "variance"),
+                2: ("sdf", "color", "variance", "lvis", "indirect"),
+                3: ("sdf", "color", "variance", "lvis", "indirect",
+                    "material")}[stage]
+        missing = [g for g in need if g not in loaded_groups]
+        if missing:
             raise FileNotFoundError(
-                f"no checkpoints found under {dirs} — train first")
+                f"stage-{stage} pipeline needs trained groups {missing} "
+                f"but no checkpoint under {dirs} provides them — train the "
+                "earlier stages first")
         dataset = make_dataset(type, conf["dataset"])
         return cls(cfg, params, dataset, batch_size)
 
     # -- chunked ray driver --------------------------------------------------
 
     def _run_chunks(self, rays_o, rays_d, fn, keys, key=None):
-        H, W = rays_o.shape[:2]
-        ro = np.asarray(rays_o).reshape(-1, 3)
-        rd = np.asarray(rays_d).reshape(-1, 3)
-        n = len(ro)
-        B = self.batch_size
-        pad = (-n) % B
-        if pad:
-            ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
-            rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
-        acc = {k: [] for k in keys}
-        for i in range(0, len(ro), B):
-            o_c, d_c = jnp.asarray(ro[i:i + B]), jnp.asarray(rd[i:i + B])
+        def call(o_c, d_c, i):
             near, far = RAYS.near_far_from_sphere(o_c, d_c)
             if key is None:
-                out = fn(self.params, o_c, d_c, near, far)
-            else:
-                out = fn(self.params, o_c, d_c, near, far,
-                         jax.random.fold_in(key, i))
-            for k in keys:              # keep device arrays; fetch after the
-                acc[k].append(out[k])   # loop so transfers overlap compute
-        return {k: fetch_concat(v, n).reshape(H, W, -1)
-                for k, v in acc.items()}
+                return fn(self.params, o_c, d_c, near, far)
+            return fn(self.params, o_c, d_c, near, far,
+                      jax.random.fold_in(key, i))
+
+        res, H, W = chunked_render(call, rays_o, rays_d, self.batch_size,
+                                   keys)
+        return {k: v.reshape(H, W, -1) for k, v in res.items()}
 
     # -- public surface ------------------------------------------------------
 

@@ -224,6 +224,40 @@ def fetch_concat(chunks, n: int):
     return np.concatenate([np.asarray(c) for c in chunks])[:n]
 
 
+def chunked_render(fn, rays_o, rays_d, chunk: int, keys, post=None):
+    """Shared pad-to-chunk / dispatch-all / deferred-fetch ray driver for
+    full-image renders (runner1/2/3 validation + Pipeline inference).
+
+    fn(o_c, d_c, i) -> dict of per-ray DEVICE arrays; i is the chunk's
+    start ray index (for per-chunk RNG folding).  keys: entries to
+    collect.  post (optional): out-dict -> dict of derived DEVICE arrays
+    per chunk (e.g. the on-device normal reduction).  Returns
+    (dict of [n, ...] numpy arrays, H, W)."""
+    import numpy as np
+    H, W = rays_o.shape[:2]
+    ro = np.asarray(rays_o).reshape(-1, 3)
+    rd = np.asarray(rays_d).reshape(-1, 3)
+    n = len(ro)
+    pad = (-n) % chunk
+    if pad:
+        ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
+        rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
+    acc = {k: [] for k in keys}
+    derived = {}
+    for i in range(0, len(ro), chunk):
+        out = fn(jnp.asarray(ro[i:i + chunk]), jnp.asarray(rd[i:i + chunk]),
+                 i)
+        for k in keys:              # keep device arrays; fetch after the
+            acc[k].append(out[k])   # loop so transfers overlap compute
+        if post is not None:
+            for k, v in post(out).items():
+                derived.setdefault(k, []).append(v)
+    res = {k: fetch_concat(v, n) for k, v in acc.items()}
+    for k, v in derived.items():
+        res[k] = fetch_concat(v, n)
+    return res, H, W
+
+
 def init_all_params(key, cfg: RendererConfig,
                     variance_init_val: float = 0.3) -> Dict[str, Any]:
     """One pytree with every network the three stages need."""

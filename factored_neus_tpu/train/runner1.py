@@ -28,7 +28,7 @@ from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage1
 from .common import (BlockStepper, TrainConfig, boundary_metrics,
-                     fetch_concat, init_all_params, val_chunk_size)
+                     chunked_render, init_all_params, val_chunk_size)
 
 # checkpoint group names, matching ref:exp_runner.py:266-278
 CKPT_KEYS = {
@@ -224,36 +224,20 @@ class Runner:
     # -- validation ---------------------------------------------------------
 
     def _render_image(self, rays_o, rays_d, keys=("color_fine",)):
-        """Chunked full-image render; returns dict of [H,W,...] numpy."""
-        H, W = rays_o.shape[:2]
-        ro = np.asarray(rays_o).reshape(-1, 3)
-        rd = np.asarray(rays_d).reshape(-1, 3)
-        B = val_chunk_size(self.tcfg, self.mesh)
-        n = ro.shape[0]
-        pad = (-n) % B
-        if pad:
-            ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
-            rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
-        outs = {k: [] for k in keys}
-        normals_acc = []
-        # accumulate DEVICE arrays and fetch after the loop: the renders
-        # queue asynchronously, so device->host transfers overlap compute;
-        # the normal reduction runs on device so only [B,3] crosses the
-        # wire instead of [B,n,3] + two [B,n] masks per chunk
-        for i in range(0, len(ro), B):
-            o_c = jnp.asarray(ro[i:i + B])
-            d_c = jnp.asarray(rd[i:i + B])
+        """Chunked full-image render; returns dict of [H,W,...] numpy.
+        The normal reduction runs on device so only [B,3] crosses the
+        wire instead of [B,n,3] + two [B,n] masks per chunk."""
+        def fn(o_c, d_c, _i):
             near, far = RAYS.near_far_from_sphere(o_c, d_c)
-            out = self._render_fn(self.params, o_c, d_c, near, far,
-                                  jnp.asarray(self.iter_step))
-            for k in keys:
-                outs[k].append(out[k])
-            normals_acc.append(_normal_map_device(
-                out["gradients"], out["weights"], out["inside_sphere"]))
-        res = {k: fetch_concat(v, n).reshape(H, W, -1)
-               for k, v in outs.items()}
-        res["normals"] = fetch_concat(normals_acc, n).reshape(H, W, 3)
-        return res
+            return self._render_fn(self.params, o_c, d_c, near, far,
+                                   jnp.asarray(self.iter_step))
+
+        res, H, W = chunked_render(
+            fn, rays_o, rays_d, val_chunk_size(self.tcfg, self.mesh), keys,
+            post=lambda out: {"normals": _normal_map_device(
+                out["gradients"], out["weights"], out["inside_sphere"])})
+        return {k: v.reshape(H, W, -1) if k != "normals"
+                else v.reshape(H, W, 3) for k, v in res.items()}
 
     def validate_image(self, idx: int = -1, resolution_level: int = -1):
         """DTU-style validation panels (ref:exp_runner.py:374-486)."""
@@ -296,7 +280,8 @@ class Runner:
         from ..data import images as IMG
         if idx < 0:
             idx = np.random.randint(self.dataset.n_images)
-        if resolution_level < 0:
+        idx %= self.dataset.n_images      # the CLI's reference default (57)
+        if resolution_level < 0:          # can exceed small test scenes
             resolution_level = self.tcfg.validate_resolution_level
         rays_o, rays_d = self.dataset.gen_rays_at(idx, resolution_level)
         res = self._render_image(rays_o, rays_d,

@@ -25,7 +25,7 @@ from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage2
 from .common import (BlockStepper, TrainConfig, boundary_metrics,
-                     fetch_concat, init_all_params, val_chunk_size)
+                     chunked_render, init_all_params, val_chunk_size)
 from .runner1 import CKPT_KEYS
 
 STAGE2_KEYS = dict(CKPT_KEYS, lvis="lvis_network", indirect="indiLgt_network")
@@ -165,26 +165,18 @@ class Runner:
 
     def _render_panels(self, idx: int, resolution_level: int):
         rays_o, rays_d = self.dataset.gen_rays_at(idx, resolution_level)
-        H, W = rays_o.shape[:2]
-        ro = np.asarray(rays_o).reshape(-1, 3)
-        rd = np.asarray(rays_d).reshape(-1, 3)
-        B = val_chunk_size(self.tcfg, self.mesh)
-        pad = (-len(ro)) % B
-        n = len(ro)
-        if pad:
-            ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
-            rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
-        acc = {k: [] for k in ("gt_lvis", "pre_lvis", "gt_trace_radiance",
-                               "pre_trace_radiance")}
         key = jax.random.PRNGKey(self.iter_step)
-        for i in range(0, len(ro), B):
-            o_c, d_c = jnp.asarray(ro[i:i + B]), jnp.asarray(rd[i:i + B])
+
+        def fn(o_c, d_c, i):
             near, far = RAYS.near_far_from_sphere(o_c, d_c)
-            out = self._render_fn(self.params, o_c, d_c, near, far,
-                                  jax.random.fold_in(key, i))
-            for k in acc:               # keep device arrays; fetch after the
-                acc[k].append(out[k])   # loop so transfers overlap compute
-        return {k: fetch_concat(v, n) for k, v in acc.items()}, H, W
+            return self._render_fn(self.params, o_c, d_c, near, far,
+                                   jax.random.fold_in(key, i))
+
+        res, H, W = chunked_render(
+            fn, rays_o, rays_d, val_chunk_size(self.tcfg, self.mesh),
+            ("gt_lvis", "pre_lvis", "gt_trace_radiance",
+             "pre_trace_radiance"))
+        return res, H, W
 
     def validate_image(self, idx: int = -1, resolution_level: int = -1):
         if idx < 0:

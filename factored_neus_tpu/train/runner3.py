@@ -27,7 +27,7 @@ from ..utils import config as CFG
 from ..utils.logging import MetricsWriter, ThroughputMeter, log
 from . import stage3
 from .common import (BlockStepper, TrainConfig, boundary_metrics,
-                     fetch_concat, init_all_params, val_chunk_size)
+                     chunked_render, init_all_params, val_chunk_size)
 from .runner1 import CKPT_KEYS
 from .runner2 import STAGE2_KEYS
 
@@ -180,27 +180,17 @@ class Runner:
     def render_decomposition(self, dataset, idx: int, resolution_level: int
                              ) -> Dict[str, np.ndarray]:
         rays_o, rays_d = dataset.gen_rays_at(idx, resolution_level)
-        H, W = rays_o.shape[:2]
-        ro = np.asarray(rays_o).reshape(-1, 3)
-        rd = np.asarray(rays_d).reshape(-1, 3)
-        B = val_chunk_size(self.tcfg, self.mesh)
-        n = len(ro)
-        pad = (-n) % B
-        if pad:
-            ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
-            rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
-        acc = {k: [] for k in _VAL_KEYS}
         key = jax.random.PRNGKey(self.iter_step)
-        for i in range(0, len(ro), B):
-            o_c, d_c = jnp.asarray(ro[i:i + B]), jnp.asarray(rd[i:i + B])
+
+        def fn(o_c, d_c, i):
             near, far = RAYS.near_far_from_sphere(o_c, d_c)
-            out = self._render_fn(self.params, o_c, d_c, near, far,
-                                  jax.random.fold_in(key, i))
-            for k in _VAL_KEYS:         # keep device arrays; fetch after the
-                acc[k].append(out[k])   # loop so transfers overlap compute
-        res = {k: fetch_concat(v, n).reshape(H, W, -1)
-               for k, v in acc.items()}
-        return res
+            return self._render_fn(self.params, o_c, d_c, near, far,
+                                   jax.random.fold_in(key, i))
+
+        res, H, W = chunked_render(fn, rays_o, rays_d,
+                                   val_chunk_size(self.tcfg, self.mesh),
+                                   _VAL_KEYS)
+        return {k: v.reshape(H, W, -1) for k, v in res.items()}
 
     # -- validation panels ---------------------------------------------------
 
@@ -241,7 +231,8 @@ class Runner:
         """Synthetic panels with gamma tonemap (ref:mateIllu.py:459-585)."""
         if idx < 0:
             idx = np.random.randint(self.dataset.n_images)
-        if resolution_level < 0:
+        idx %= self.dataset.n_images      # per-case defaults can exceed
+        if resolution_level < 0:          # small test scenes
             resolution_level = self.tcfg.validate_resolution_level
         r = self.render_decomposition(self.dataset, idx, resolution_level)
         tm = lambda x: (np.power(np.clip(x, 0, 1), 1 / 2.2) * 255).clip(0, 255)

@@ -65,16 +65,24 @@ def _path_str(entry) -> str:
 
 
 def _treedef_spec(tree) -> Any:
-    """JSON-serializable structure mirror (dicts/lists with None leaves)."""
+    """JSON-serializable structure mirror (dicts/lists with None leaves).
+    Tuples are tagged so they round-trip as tuples — list vs tuple are
+    distinct jax pytree node types, and a resume that silently turned a
+    tuple into a list would no longer match a fresh init's treedef."""
     if isinstance(tree, dict):
         return {k: _treedef_spec(v) for k, v in tree.items()}
-    if isinstance(tree, (list, tuple)):
+    if isinstance(tree, tuple):
+        return {"__tuple__": [_treedef_spec(v) for v in tree]}
+    if isinstance(tree, list):
         return [_treedef_spec(v) for v in tree]
     return None
 
 
 def _unflatten(spec, flat: Dict[str, np.ndarray], prefix: str = ""):
     if isinstance(spec, dict):
+        if set(spec) == {"__tuple__"}:
+            return tuple(_unflatten(v, flat, prefix + str(i) + _SEP)
+                         for i, v in enumerate(spec["__tuple__"]))
         return {k: _unflatten(v, flat, prefix + k + _SEP)
                 for k, v in spec.items()}
     if isinstance(spec, list):

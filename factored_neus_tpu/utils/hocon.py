@@ -34,7 +34,9 @@ class ConfigTree(dict):
     def get(self, key, default=None):
         try:
             return self[key]
-        except KeyError:
+        except (KeyError, TypeError):
+            # TypeError: dotted lookup through a scalar intermediate
+            # (`a = 1` then get('a.b')) — fall back like pyhocon does
             return default
 
     def get_int(self, key, default=None):
@@ -84,12 +86,23 @@ def _coerce(token: str) -> Any:
 def _strip_comments(text: str) -> str:
     out = []
     for line in text.split("\n"):
-        # cut # and // comments outside quotes (configs here don't quote '#')
+        # cut # and // comments: only at start-of-line or after whitespace,
+        # so values CONTAINING the marker survive — e.g. a path with a
+        # double slash (`./exp//wmask`, produced by an empty CASE_NAME) or
+        # a URL must not be truncated into a different (silently shared)
+        # directory
+        cut = len(line)
         for marker in ("#", "//"):
-            idx = line.find(marker)
-            if idx >= 0:
-                line = line[:idx]
-        out.append(line)
+            idx = 0
+            while True:
+                idx = line.find(marker, idx)
+                if idx < 0 or idx >= cut:
+                    break
+                if idx == 0 or line[idx - 1] in " \t":
+                    cut = idx
+                    break
+                idx += 1
+        out.append(line[:cut])
     return "\n".join(out)
 
 

@@ -100,3 +100,24 @@ def test_reference_schema_configs():
     assert rcw.n_outside == 0
     tw = TrainConfig.from_conf(cw, stage=1)
     assert tw.mask_weight == 0.1 and tw.anneal_end == 0.0
+
+
+def test_comment_markers_inside_values_survive():
+    """'//' or '#' preceded by non-whitespace is part of the value (a path
+    with a double slash — e.g. an empty CASE_NAME — or a URL must not be
+    truncated into a different directory)."""
+    from factored_neus_tpu.utils.hocon import parse_string
+    c = parse_string(
+        "a = ./exp//wmask/geometry   # trailing comment\n"
+        "b = http://host/p // trailing\n"
+        "// full-line comment\n"
+        "c = 3\n")
+    assert c["a"] == "./exp//wmask/geometry"
+    assert c["b"] == "http://host/p"
+    assert c["c"] == 3
+
+
+def test_get_through_scalar_returns_default():
+    from factored_neus_tpu.utils.hocon import parse_string
+    c = parse_string("a = 1")
+    assert c.get("a.b", "dflt") == "dflt"

@@ -379,3 +379,19 @@ def test_normal_map_device_matches_host_formula():
             * np.asarray(weights)[:, :n_total, None]
             * np.asarray(inside)[..., None]).sum(1)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_checkpoint_tuple_roundtrip(tmp_path):
+    """Tuples in plain groups round-trip as tuples (list vs tuple are
+    distinct jax pytree node types; resume must match a fresh treedef)."""
+    from factored_neus_tpu.utils import checkpoints as CK
+    groups = {"grp": {"layers": ({"w": jnp.ones((2, 3))},
+                                 {"w": jnp.zeros((3,))})}}
+    path = CK.save_checkpoint(str(tmp_path), 5, groups)
+    loaded = CK.load_checkpoint(path)
+    layers = loaded["grp"]["layers"]
+    assert isinstance(layers, tuple) and len(layers) == 2
+    np.testing.assert_array_equal(layers[0]["w"], np.ones((2, 3)))
+    assert jax.tree_util.tree_structure(loaded["grp"]) == \
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.asarray, groups["grp"]))
