@@ -205,7 +205,10 @@ def main():
             return
         from factored_neus_tpu.parallel import sharding as SH
         mesh = SH.make_mesh(devices)
-        r = measure(BATCH * len(devices), mesh=mesh, with_mfu=False)
+        # same k_steps=8 block program as the single-chip headline, so the
+        # per_chip scaling comparison is apples-to-apples
+        r = measure(BATCH * len(devices), mesh=mesh, with_mfu=False,
+                    k_steps=8)
         print(json.dumps({
             "metric": "stage1_train_rays_per_sec_sharded",
             "value": round(r["rays_per_sec"], 1),
@@ -240,7 +243,10 @@ def main():
     # and always emit a parseable JSON line rather than a bare traceback.
     # stage-1 headline runs the production multi-step program
     # (confs/wmask.conf train.block_steps); FNEUS_BENCH_BLOCK=1 reverts
-    k1 = int(_os.environ.get("FNEUS_BENCH_BLOCK", "8"))
+    try:
+        k1 = max(1, int(_os.environ.get("FNEUS_BENCH_BLOCK", "8")))
+    except ValueError:      # malformed env must not kill the driver artifact
+        k1 = 8
 
     def run_stage(stage, with_mfu):
         k = k1 if stage == "stage1" else 1
@@ -252,11 +258,11 @@ def main():
                 time.sleep(120)
                 r = measure(BATCH, stage=stage, with_mfu=with_mfu,
                             k_steps=k)
-        except Exception as e:                  # backend down: say so
+        except Exception as e:                  # say so, parseably
             print(json.dumps({
                 "metric": f"{stage}_train_rays_per_sec_per_chip",
                 "value": None, "unit": "rays/s",
-                "note": f"TPU backend failure: {type(e).__name__}: {e}"[:300],
+                "note": f"bench failure: {type(e).__name__}: {e}"[:300],
             }), flush=True)
             return False
         windows = [round(r["rays_per_sec"], 1)]
@@ -270,9 +276,16 @@ def main():
                 break
             windows.append(round(r2["rays_per_sec"], 1))
             if r2["rays_per_sec"] > r["rays_per_sec"]:
-                r2.update({k: r[k] for k in
-                           ("tflops_per_sec", "mfu", "pallas_flop_frac",
-                            "hbm_frac") if k in r})
+                # carry the FLOP-model keys over, RESCALED to the winning
+                # window's step time — mfu/tflops/hbm_frac are rate
+                # proportional, so copying them verbatim would pair the
+                # fast window's rays/s with the slow window's utilization
+                ratio = r2["rays_per_sec"] / r["rays_per_sec"]
+                for kk in ("tflops_per_sec", "mfu", "hbm_frac"):
+                    if kk in r:
+                        r2[kk] = r[kk] * ratio
+                if "pallas_flop_frac" in r:          # rate-independent
+                    r2["pallas_flop_frac"] = r["pallas_flop_frac"]
                 r = r2
         print(json.dumps({
             "metric": f"{stage}_train_rays_per_sec_per_chip",

@@ -27,7 +27,8 @@ STEPS = 15
 
 
 def main():
-    stage = sys.argv[1] if len(sys.argv) > 1 else "stage2"
+    stage = sys.argv[1] if len(sys.argv) > 1 \
+        and not sys.argv[1].startswith("--") else "stage2"
     use_pallas = "--pallas" in sys.argv
 
     from factored_neus_tpu.models.renderer import RendererConfig

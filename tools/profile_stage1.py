@@ -155,9 +155,13 @@ def summarize(dev_events, steps: int, topk: int):
     print("| op | ms/step | % dev | calls/step |")
     print("|---|---|---|---|")
     for name, (us, cnt) in rows:
-        tag = " [span]" if _is_container(name) else ""
+        span = _is_container(name)
+        # span rows are EXCLUDED from total_us (their children are what
+        # count), so a percentage against it would read >100% — print '--'
+        pct = "--" if span else f"{100.0 * us / total_us:.1f}%"
+        tag = " [span]" if span else ""
         print(f"| `{name[:80]}`{tag} | {us / steps / 1e3:.3f} "
-              f"| {100.0 * us / total_us:.1f}% | {cnt / steps:.1f} |")
+              f"| {pct} | {cnt / steps:.1f} |")
     return total_us
 
 
@@ -166,7 +170,12 @@ def main():
     stage = args[0] if args and not args[0].startswith("--") else "stage1"
 
     def opt(name, default, cast):
-        return cast(args[args.index(name) + 1]) if name in args else default
+        if name not in args:
+            return default
+        i = args.index(name) + 1
+        if i >= len(args) or args[i].startswith("--"):
+            raise SystemExit(f"{name} requires a value")
+        return cast(args[i])
 
     steps = opt("--steps", 10, int)
     batch = opt("--batch", 512, int)
