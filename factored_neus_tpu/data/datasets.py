@@ -497,6 +497,14 @@ DATASET_TYPES = {
 }
 
 
+# Type strings whose stages 2/3 train in LINEAR space (tonemap 'none' —
+# the reference's synthetic/shiny branches); keyed off the dataset class so
+# aliases (e.g. 'shiny_refneus') can never drift out of this set.
+LINEAR_SPACE_TYPES = frozenset(
+    name for name, cls in DATASET_TYPES.items()
+    if cls in (SyntheticDataset, ShinyDataset))
+
+
 def make_dataset(type_name: str, conf) -> BaseDataset:
     try:
         cls = DATASET_TYPES[type_name]

@@ -138,12 +138,19 @@ def extract_geometry(bound_min, bound_max, resolution: int, threshold: float,
     u = extract_fields(bound_min, bound_max, resolution, query_fn, slab=slab,
                        mesh=mesh, transfer_dtype=transfer_dtype)
     if transfer_dtype != jnp.float32 and not np.isfinite(u).all():
+        # A query exceeding the wire dtype's range (f16 max 65504) overflows
+        # to inf, and marching cubes would interpolate NaN vertices
+        # (t = s0/(s0-s1)) — a silently corrupt mesh. SDF grids are bounded
+        # so this is rare; refill the whole grid at float32 and proceed.
         import logging
         logging.getLogger("factored_neus_tpu").warning(
             "grid contains non-finite values after %s wire conversion — "
-            "a query exceeding the dtype's range (f16 max 65504) overflows "
-            "to inf; pass transfer_dtype=jnp.float32 for such fields",
+            "refilling at float32 (pass transfer_dtype=jnp.float32 to skip "
+            "the f16 attempt for such fields)",
             np.dtype(transfer_dtype).name)
+        u = extract_fields(bound_min, bound_max, resolution, query_fn,
+                           slab=slab, mesh=mesh,
+                           transfer_dtype=jnp.float32)
     verts, tris = _mc_native(u, float(threshold))
     b_min = np.asarray(bound_min, np.float32)
     b_max = np.asarray(bound_max, np.float32)

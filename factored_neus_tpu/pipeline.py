@@ -61,8 +61,8 @@ class Pipeline:
         # synthetic/shiny stages 2/3 train linear-space (tonemap 'none',
         # like runner3); serving must render with the same tonemap or the
         # outputs are silently gamma-shifted vs the trained checkpoint
-        tonemap = "none" if (stage >= 3 and type in (
-            "synthetic", "shiny", "indisg_synthetic", "indisg_shiny")) \
+        from .data.datasets import LINEAR_SPACE_TYPES
+        tonemap = "none" if (stage >= 3 and type in LINEAR_SPACE_TYPES) \
             else "srgb"
         cfg = CFG.renderer_config(
             conf, "model.lvis_renderer" if stage > 1 else

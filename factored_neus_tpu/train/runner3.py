@@ -52,9 +52,8 @@ class Runner:
 
         self.dataset = make_dataset(type, self.conf["dataset"])
         self.tcfg = TrainConfig.from_conf(self.conf, stage=3)
-        tonemap = "none" if type in ("synthetic", "shiny",
-                                     "indisg_synthetic", "indisg_shiny") \
-            else "srgb"
+        from ..data.datasets import LINEAR_SPACE_TYPES
+        tonemap = "none" if type in LINEAR_SPACE_TYPES else "srgb"
         self.cfg = CFG.renderer_config(self.conf, "model.lvis_renderer",
                                        tonemap=tonemap)
         self.iter_step = 0

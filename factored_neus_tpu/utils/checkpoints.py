@@ -29,9 +29,13 @@ import numpy as np
 
 _SEP = "/"
 
-# single in-flight async writer (runners are single-threaded savers)
-_ASYNC_THREAD: Optional[threading.Thread] = None
-_ASYNC_ERROR: Optional[BaseException] = None
+# In-flight async writers, keyed by base_exp_dir (one in flight per
+# directory; a lock guards the maps so concurrent runners in one process —
+# e.g. two stages chained in a test — cannot race each other's slots, and
+# latest_checkpoint on one directory never joins an unrelated write).
+_ASYNC_LOCK = threading.Lock()
+_ASYNC_THREADS: Dict[str, threading.Thread] = {}
+_ASYNC_ERRORS: Dict[str, BaseException] = {}
 
 
 @atexit.register
@@ -172,23 +176,42 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return out
 
 
-def _join_writer(clear_error: bool = True) -> Optional[BaseException]:
-    """Join any in-flight writer; return its error, if any (cleared unless
+def _writer_key(base_exp_dir: Optional[str]) -> Optional[str]:
+    return None if base_exp_dir is None else os.path.abspath(base_exp_dir)
+
+
+def _join_writer(base_exp_dir: Optional[str] = None,
+                 clear_error: bool = True) -> Optional[BaseException]:
+    """Join in-flight writer(s) — the given directory's, or ALL of them when
+    base_exp_dir is None; return the first error, if any (cleared unless
     clear_error=False — read-only callers must leave it for the save/drain
     sites to surface)."""
-    global _ASYNC_ERROR
-    t = _ASYNC_THREAD
-    if t is not None:
+    key = _writer_key(base_exp_dir)
+    with _ASYNC_LOCK:
+        if key is None:
+            threads = list(_ASYNC_THREADS.values())
+            keys = list(_ASYNC_THREADS.keys()) or list(_ASYNC_ERRORS.keys())
+        else:
+            t = _ASYNC_THREADS.get(key)
+            threads = [t] if t is not None else []
+            keys = [key]
+    for t in threads:
         t.join()
-    err = _ASYNC_ERROR
-    if clear_error:
-        _ASYNC_ERROR = None
+    err = None
+    with _ASYNC_LOCK:
+        for k in keys:
+            e = _ASYNC_ERRORS.get(k)
+            if e is not None:
+                if err is None:
+                    err = e
+                if clear_error:
+                    del _ASYNC_ERRORS[k]
     return err
 
 
 def wait_for_async_saves() -> None:
-    """Block until any in-flight async checkpoint write has finished.
-    Re-raises an error from the background writer (e.g. disk full) so a
+    """Block until every in-flight async checkpoint write has finished.
+    Re-raises an error from a background writer (e.g. disk full) so a
     failed save surfaces on the training thread instead of vanishing."""
     err = _join_writer()
     if err is not None:
@@ -204,14 +227,13 @@ def save_checkpoint_async(base_exp_dir: str, iter_step: int,
     Donation safety: device leaves are snapshotted with an on-device copy
     BEFORE returning — the copy is dispatched in stream order ahead of the
     next train step, so the step's buffer donation cannot alias the data
-    being written.  One save is in flight at a time (a new call joins the
-    previous writer: ordering + bounded host memory); the writer thread is
-    non-daemon so an interpreter exit drains pending writes, and the
-    atomic tmp-file rename in save_checkpoint means a hard kill can only
-    lose the newest file, never corrupt one.  Call wait_for_async_saves()
-    before reading the newest file back in-process (latest_checkpoint does
-    this automatically)."""
-    global _ASYNC_THREAD
+    being written.  One save per directory is in flight at a time (a new
+    call joins the previous writer for the same directory: ordering +
+    bounded host memory); the writer thread is non-daemon so an interpreter
+    exit drains pending writes, and the atomic tmp-file rename in
+    save_checkpoint means a hard kill can only lose the newest file, never
+    corrupt one.  Call wait_for_async_saves() before reading the newest
+    file back in-process (latest_checkpoint does this automatically)."""
     import jax.numpy as jnp
 
     def snap(leaf):
@@ -219,12 +241,12 @@ def save_checkpoint_async(base_exp_dir: str, iter_step: int,
 
     snapped = {name: jax.tree_util.tree_map(snap, tree)
                for name, tree in groups.items()}
-    prev_err = _join_writer()   # join BEFORE raising: a transient failure
-                                # of the previous write must not also drop
-                                # THIS (healthy) checkpoint
+    key = _writer_key(base_exp_dir)
+    prev_err = _join_writer(base_exp_dir)
+    # join BEFORE raising: a transient failure of the previous write must
+    # not also drop THIS (healthy) checkpoint
 
     def write():
-        global _ASYNC_ERROR
         try:
             save_checkpoint(base_exp_dir, iter_step, snapped)
         except BaseException as e:
@@ -235,12 +257,14 @@ def save_checkpoint_async(base_exp_dir: str, iter_step: int,
             logging.getLogger("factored_neus_tpu").error(
                 "async checkpoint write to %s (iter %d) FAILED: %s",
                 base_exp_dir, iter_step, e, exc_info=True)
-            _ASYNC_ERROR = e.with_traceback(None)
+            with _ASYNC_LOCK:
+                _ASYNC_ERRORS[key] = e.with_traceback(None)
 
     t = threading.Thread(target=write, name=f"ckpt-writer-{iter_step}",
                          daemon=False)
+    with _ASYNC_LOCK:
+        _ASYNC_THREADS[key] = t
     t.start()
-    _ASYNC_THREAD = t
     if prev_err is not None:
         raise RuntimeError("async checkpoint write failed") from prev_err
 
@@ -252,13 +276,13 @@ def latest_checkpoint(base_exp_dir: str,
                       end_iter: Optional[int] = None) -> Optional[str]:
     """Newest stamped checkpoint <= end_iter, or None.
     ref:exp_runner.py:107-118."""
-    # an in-flight async write may be the newest file: join it, but do NOT
-    # re-raise (or clear) a stale writer error here — this is a read-only
-    # lookup, possibly for an unrelated directory; errors surface at the
-    # save and drain sites, which know which write they belong to.  Warn,
-    # though: if the failed write was this directory's newest checkpoint,
-    # the caller is about to chain from a stale one.
-    pending_err = _join_writer(clear_error=False)
+    # an in-flight async write to THIS directory may be the newest file:
+    # join it, but do NOT re-raise (or clear) a stale writer error here —
+    # this is a read-only lookup; errors surface at the save and drain
+    # sites, which know which write they belong to.  Warn, though: if the
+    # failed write was this directory's newest checkpoint, the caller is
+    # about to chain from a stale one.
+    pending_err = _join_writer(base_exp_dir, clear_error=False)
     if pending_err is not None:
         logging.getLogger("factored_neus_tpu").warning(
             "scanning %s for checkpoints while an async write has FAILED "

@@ -86,22 +86,30 @@ def _coerce(token: str) -> Any:
 def _strip_comments(text: str) -> str:
     out = []
     for line in text.split("\n"):
-        # cut # and // comments: only at start-of-line or after whitespace,
-        # so values CONTAINING the marker survive — e.g. a path with a
-        # double slash (`./exp//wmask`, produced by an empty CASE_NAME) or
-        # a URL must not be truncated into a different (silently shared)
-        # directory
+        # Quote-aware comment stripping. `#` starts a comment anywhere
+        # outside a quoted span (HOCON semantics — `300000#note` parses as
+        # 300000). `//` only counts at start-of-line or after whitespace so
+        # unquoted values CONTAINING it survive — e.g. a path with a double
+        # slash (`./exp//wmask`, produced by an empty CASE_NAME) or a URL
+        # must not be truncated into a different (silently shared) directory.
         cut = len(line)
-        for marker in ("#", "//"):
-            idx = 0
-            while True:
-                idx = line.find(marker, idx)
-                if idx < 0 or idx >= cut:
-                    break
-                if idx == 0 or line[idx - 1] in " \t":
-                    cut = idx
-                    break
-                idx += 1
+        quote = None
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if quote is not None:
+                if c == quote:
+                    quote = None
+            elif c in "\"'":
+                quote = c
+            elif c == "#":
+                cut = i
+                break
+            elif c == "/" and line[i:i + 2] == "//" and (
+                    i == 0 or line[i - 1] in " \t"):
+                cut = i
+                break
+            i += 1
         out.append(line[:cut])
     return "\n".join(out)
 

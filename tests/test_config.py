@@ -121,3 +121,19 @@ def test_get_through_scalar_returns_default():
     from factored_neus_tpu.utils.hocon import parse_string
     c = parse_string("a = 1")
     assert c.get("a.b", "dflt") == "dflt"
+
+
+def test_attached_hash_and_quoted_markers():
+    """HOCON semantics: '#' starts a comment even when attached to a value
+    ('300000#note' parses as 300000), and markers inside QUOTED spans are
+    value content, never comments (ADVICE r3)."""
+    from factored_neus_tpu.utils.hocon import parse_string
+    c = parse_string(
+        "a = 300000#note\n"
+        "b = 'x # y'\n"
+        'bb = "u // v"\n'
+        "d = './exp//wmask' # tail\n")
+    assert c["a"] == 300000
+    assert c["b"] == "x # y"
+    assert c["bb"] == "u // v"
+    assert c["d"] == "./exp//wmask"
