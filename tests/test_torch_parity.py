@@ -573,3 +573,163 @@ def test_secondary_compute_weight_parity():
         inv_s, jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(z))
     np.testing.assert_allclose(np.asarray(j_w), _np(t_w), atol=ATOL)
     np.testing.assert_allclose(np.asarray(j_wi), _np(t_wi), atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Stage-2/3 FULL-GRAPH parity: lvis_render / mateIllu_render end-to-end with
+# injected weights AND injected RNG draws (round-4 addition)
+# ---------------------------------------------------------------------------
+
+def _patch_rand(monkeypatch, torch_queue, jax_queue):
+    """Feed both frameworks the SAME uniform draws.
+
+    torch: calLvis.cal_indiLgt draws torch.rand(n_mask, 4) twice
+    (ref:calLvis.py:352-353); inverRender.get_diffuse_visibility draws
+    torch.rand(n_lobe, nsamp) twice (ref:inverRender.py:151-152).
+    jax: secondary.cal_indi_lgt / materials.get_diffuse_visibility draw
+    jax.random.uniform with the same semantics (full-batch shapes — the
+    static-shape design computes all rays and masks after, so the torch
+    queue holds the masked ROWS of the same master arrays)."""
+    tq = list(torch_queue)
+    jq = list(jax_queue)
+
+    def fake_rand(*size, **kw):
+        if len(size) == 1 and isinstance(size[0], (tuple, list)):
+            size = tuple(size[0])
+        arr = tq.pop(0)
+        assert tuple(size) == arr.shape, (size, arr.shape)
+        return torch.from_numpy(np.ascontiguousarray(arr))
+
+    def fake_uniform(key, shape=(), dtype=None, minval=0.0, maxval=1.0):
+        arr = jq.pop(0)
+        assert tuple(shape) == arr.shape, (shape, arr.shape)
+        return jnp.asarray(arr)
+
+    monkeypatch.setattr(torch, "rand", fake_rand)
+    monkeypatch.setattr(jax.random, "uniform", fake_uniform)
+    if not torch.cuda.is_available():
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **k: self)
+    return tq, jq
+
+
+def _build_pair23():
+    """Shared-weight stack for the stage-2/3 graphs (adds Lvis /
+    IndirectLight / EnvmapMaterialNetwork to the stage-1 pair)."""
+    import models.inverRender as TIR                 # reference
+    from factored_neus_tpu.models.materials import EnvmapMaterialConfig
+    from factored_neus_tpu.utils import torch_import as TI
+
+    t_renderer, jcfg1, _ = _build_pair()
+    t_lvis = TF.Lvis()
+    t_indi = TF.IndirectLight(num_lgt_sgs=24)
+    t_mat = TIR.EnvmapMaterialNetwork(num_lgt_sgs=16)
+    t_lvis(torch.zeros(2, 3), torch.zeros(2, 3))     # materialize the
+    t_indi(torch.zeros(2, 3))                        # LazyLinear layers
+    t_mat.net_cs(torch.zeros(2, 90))
+    t_renderer.lvis_network = t_lvis
+    t_renderer.indiLgt_network = t_indi
+    t_renderer.mateIllu_network = t_mat
+
+    state = {
+        "nerf": t_renderer.nerf.state_dict(),
+        "sdf_network_fine": t_renderer.sdf_network.state_dict(),
+        "variance_network_fine": t_renderer.deviation_network.state_dict(),
+        "color_network_fine": t_renderer.color_network.state_dict(),
+        "refColor_network": t_renderer.refColor_network.state_dict(),
+        "lvis_network": t_lvis.state_dict(),
+        "indiLgt_network": t_indi.state_dict(),
+        "mateIllu_network": t_mat.state_dict(),
+        "iter_step": 0,
+    }
+    jparams = TI.params_from_torch_checkpoint(state)
+    # sweep_act_bf16 must be OFF for bit-level parity: the stage-2 coarse
+    # secondary sweep (renderer.py lvis_render, bf16_act=True) otherwise
+    # places fine samples from rounded sdf values, shifting gt_lvis by a
+    # few % vs the reference's f32 quadrature (a validated perf trade in
+    # production, not a parity bug — conftest pins core_act f32 the same
+    # way)
+    jcfg = JR.RendererConfig(
+        n_samples=jcfg1.n_samples, n_importance=jcfg1.n_importance,
+        n_outside=0, up_sample_steps=jcfg1.up_sample_steps, perturb=0.0,
+        sdf=jcfg1.sdf, rendering=jcfg1.rendering, nerf=jcfg1.nerf,
+        refcolor=jcfg1.refcolor, sweep_act_bf16=False,
+        material=EnvmapMaterialConfig(num_lgt_sgs=16, tonemap="srgb"))
+    return t_renderer, jcfg, jparams
+
+
+def test_lvis_render_full_graph_parity(monkeypatch):
+    """End-to-end stage-2 graph: surface localization -> 4 hemisphere
+    secondary rays -> 512-coarse/32-fine SDF sweeps -> gt/pre lvis + trace
+    radiance, torch vs jax with injected weights and injected hemisphere
+    draws (ref:renderer.py:567-627, calLvis.py:339-409)."""
+    t_renderer, jcfg, jparams = _build_pair23()
+    rays_o, rays_d, near, far = _rays(B=12)
+    B = rays_o.shape[0]
+    rng = np.random.RandomState(123)
+    theta_u = rng.rand(B, 4).astype(np.float32)
+    z_u = rng.rand(B, 4).astype(np.float32)
+
+    # jax first: full-batch draws; gives us the (deterministic) sdf_mask
+    _, jq = _patch_rand(monkeypatch, [], [theta_u, z_u])
+    j_out = JR.lvis_render(jparams, jcfg, jnp.asarray(rays_o),
+                           jnp.asarray(rays_d), jnp.asarray(near),
+                           jnp.asarray(far), jax.random.PRNGKey(0))
+    assert not jq, "jax side consumed fewer draws than queued"
+    mask = np.asarray(j_out["sdf_mask"])
+    assert mask.sum() >= 4, "fixture must hit the surface on several rays"
+
+    # torch side: the reference compacts to masked rays BEFORE drawing
+    tq, _ = _patch_rand(monkeypatch, [theta_u[mask], z_u[mask]], [])
+    t_out = t_renderer.lvis_render(torch.from_numpy(rays_o),
+                                   torch.from_numpy(rays_d),
+                                   torch.from_numpy(near),
+                                   torch.from_numpy(far))
+    assert not tq, "torch side consumed fewer draws than queued"
+
+    np.testing.assert_array_equal(mask, _np(t_out["sdf_mask"]).astype(bool))
+    for k, tol in (("gt_lvis", 3e-4), ("pre_lvis", 3e-4),
+                   ("gt_trace_radiance", 3e-4), ("pre_trace_radiance", 3e-4)):
+        np.testing.assert_allclose(np.asarray(j_out[k]), _np(t_out[k]),
+                                   atol=tol, err_msg=k)
+
+
+def test_mateillu_render_full_graph_parity(monkeypatch):
+    """End-to-end stage-3 graph: surface localization -> frozen RefColor
+    GT decomposition -> IndirectLight SGs -> EnvmapMaterialNetwork (BRDF
+    auto-encoder + KL, net_cs, SG PBR with MC diffuse visibility) -> the 11
+    output maps + losses, torch vs jax with injected weights and injected
+    visibility draws (ref:renderer.py:630-726, inverRender.py:530-598)."""
+    t_renderer, jcfg, jparams = _build_pair23()
+    rays_o, rays_d, near, far = _rays(B=12)
+    n_lobe, nsamp = 16, 32
+    rng = np.random.RandomState(321)
+    vtheta_u = rng.rand(n_lobe, nsamp).astype(np.float32)
+    vphi_u = rng.rand(n_lobe, nsamp).astype(np.float32)
+
+    _, jq = _patch_rand(monkeypatch, [], [vtheta_u, vphi_u])
+    j_out = JR.mate_illu_render(jparams, jcfg, jnp.asarray(rays_o),
+                                jnp.asarray(rays_d), jnp.asarray(near),
+                                jnp.asarray(far), jax.random.PRNGKey(0))
+    assert not jq
+    mask = np.asarray(j_out["sdf_mask"])
+    assert mask.sum() >= 4
+
+    tq, _ = _patch_rand(monkeypatch, [vtheta_u, vphi_u], [])
+    t_out = t_renderer.mateIllu_render(torch.from_numpy(rays_o),
+                                       torch.from_numpy(rays_d),
+                                       torch.from_numpy(near),
+                                       torch.from_numpy(far))
+    assert not tq
+
+    np.testing.assert_array_equal(mask, _np(t_out["sdf_mask"]).astype(bool))
+    maps = ("rgb", "env_rgb", "indir_rgb", "diffuse_albedo",
+            "specular_albedo", "diffuse_rgb", "specular_rgb", "roughness",
+            "lvis_mean", "gt_specular_linear", "gt_diffuse_srgb", "n_out")
+    for k in maps:
+        np.testing.assert_allclose(np.asarray(j_out[k]), _np(t_out[k]),
+                                   atol=3e-4, err_msg=k)
+    for k in ("encoder_loss", "diffuse_loss", "specular_loss",
+              "smooth_loss"):
+        np.testing.assert_allclose(float(np.asarray(j_out[k])),
+                                   float(t_out[k]), atol=3e-4, err_msg=k)
