@@ -23,9 +23,10 @@ geometry kernels (XLA reports 0 for pallas_call; the model logs
 padded_rows x per-row matmul FLOPs at trace time — see
 ops/pallas_sdf.py flop accounting and BENCHMARKS.md "MFU accounting").
 Peak is the v5e (TPU v5 lite) bf16 MXU peak.  The companion `hbm_frac` is
-XLA's bytes-accessed estimate divided by peak HBM bandwidth on XLA-visible
-traffic only (the Pallas kernels' HBM traffic is excluded), so it is a
-LOWER bound post-Pallas.
+(XLA's bytes-accessed estimate + the hand-counted analytic HBM bytes of the
+Pallas kernels — XLA reports 0 bytes for pallas_call, see
+ops/pallas_sdf.py byte accounting) divided by peak HBM bandwidth: a TOTAL
+roofline position, not a lower bound.
 
 Aggregation rule: the headline value is the BETTER of two measurement
 windows (`best_of: 2` in the JSON) — the tunneled backend's first window
@@ -140,15 +141,22 @@ def measure(batch: int, mesh=None, measure_steps: int = MEASURE_STEPS,
             lowered = single_fn.lower(params, opt_state, data,
                                       jnp.asarray(0), key, jnp.asarray(0))
             pallas_flops = PS.flop_log_stop()
+            pallas_bytes = PS.byte_log_stop()
             ca = lowered.compile().cost_analysis()
             if isinstance(ca, list):
                 ca = ca[0]
             if ca:
                 xla_flops = float(ca.get("flops", 0.0))
                 flops_per_step = (xla_flops + pallas_flops) or None
-                bytes_per_step = float(ca.get("bytes accessed", 0.0)) or None
+                # TOTAL bytes: XLA's estimate of the non-Pallas remainder +
+                # the kernels' analytic HBM traffic (XLA reports 0 bytes for
+                # pallas_call — see ops/pallas_sdf.py byte accounting), so
+                # hbm_frac is a true roofline position, not a lower bound
+                bytes_per_step = (float(ca.get("bytes accessed", 0.0))
+                                  + pallas_bytes) or None
         except Exception:
             PS.flop_log_stop()
+            PS.byte_log_stop()
             pallas_flops = None    # cost analysis is best-effort
 
     def run_block(it):
@@ -196,11 +204,57 @@ def main():
     if "--shard" in args:
         devices = jax.devices()
         if len(devices) < 2:
+            # 1 device: no scaling to measure, but the COMPOSITION is still
+            # testable — run the sharded step (shard_map + psum + the Pallas
+            # geometry kernels in their auto state) on a 1-device mesh and
+            # compare against the unsharded step.  This is the only place
+            # Pallas-inside-shard_map executes on real TPU hardware until a
+            # multi-chip slice is available (VERDICT r3 item 5).
+            from factored_neus_tpu.models.renderer import RendererConfig
+            from factored_neus_tpu.parallel import sharding as SH
+            from factored_neus_tpu.train import stage1
+            from factored_neus_tpu.train.common import (TrainConfig,
+                                                        init_all_params)
+            mesh1 = SH.make_mesh(devices[:1])
+            cfg = RendererConfig(n_samples=64, n_importance=64, n_outside=0,
+                                 up_sample_steps=4)
+            tcfg = TrainConfig(batch_size=BATCH, end_iter=300000,
+                               warm_up_end=5000, anneal_end=0.0,
+                               mask_weight=0.1)
+            data = make_scene()
+            key = jax.random.PRNGKey(7)
+            copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+            params0 = init_all_params(jax.random.PRNGKey(0), cfg)
+
+            oi_s, st_s = stage1.make_train_step(cfg, tcfg, mesh=mesh1)
+            p = copy(params0)
+            p, o, m_s = st_s(p, oi_s(p), data, jnp.asarray(0), key,
+                             jnp.asarray(0))
+            sharded_loss = float(m_s["loss"])
+
+            oi_u, st_u = stage1.make_train_step(cfg, tcfg, mesh=None)
+            p2 = copy(params0)
+            # the sharded loss_fn folds the chip's axis index into the step
+            # key (SH.device_key); mirror chip 0's stream so the two
+            # programs draw identical rays/jitter
+            p2, o2, m_u = st_u(p2, oi_u(p2), data, jnp.asarray(0),
+                               jax.random.fold_in(key, 0), jnp.asarray(0))
+            unsharded_loss = float(m_u["loss"])
+
+            diffs = [float(jnp.max(jnp.abs(a - b)))
+                     for a, b in zip(jax.tree_util.tree_leaves(p),
+                                     jax.tree_util.tree_leaves(p2))]
+            max_diff = max(diffs)
             print(json.dumps({
-                "metric": "stage1_train_rays_per_sec_sharded",
-                "value": None, "unit": "rays/s",
-                "note": f"only {len(devices)} device(s) present; sharded "
-                        "bench needs >=2 — no-op",
+                "metric": "stage1_sharded_vs_unsharded_max_param_diff",
+                "value": max_diff, "unit": "abs",
+                "n_devices": 1,
+                "sharded_loss": sharded_loss,
+                "unsharded_loss": unsharded_loss,
+                "bit_identical": max_diff == 0.0,
+                "ok": bool(max_diff <= 1e-6),
+                "note": "Pallas-in-shard_map composition check on a "
+                        "1-device mesh (auto kernel state for this backend)",
             }))
             return
         from factored_neus_tpu.parallel import sharding as SH

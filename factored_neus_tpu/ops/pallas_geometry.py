@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sdf import (LANE, _pad1, _pad2, _round_up, effective_weights,
-                         log_flops, on_tpu)
+                         log_bytes, log_flops, on_tpu)
 
 import os as _os
 
@@ -203,6 +203,183 @@ def _build_fwd_kernel(cfg, bf16: bool):
         g = ct_u * scale
         grad_ref[:, :] = jnp.concatenate(
             [g, jnp.zeros((B, LANE - d_raw), jnp.float32)], -1)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fwd_kernel_stashing(cfg, bf16: bool):
+    """Forward kernel that ALSO writes its pre-activations to HBM as bf16
+    (one [B, L*MAXW] output), so the backward can skip the primal-forward
+    recompute (VERDICT r4 experiment: trade 2S of the bwd's 12S matmul
+    FLOPs for ~2 bytes/act of HBM traffic each way).  Math identical to
+    _build_fwd_kernel; the stash is a side output."""
+    C = _specialize(cfg, bf16)
+    L, skip = C["L"], C["skip"]
+    d_raw, d_embed = C["d_raw"], C["d_embed"]
+    ins, outs, ins_p, outs_p = C["ins"], C["outs"], C["ins_p"], C["outs_p"]
+    EP, OP, MAXW, scale = C["EP"], C["OP"], C["MAXW"], C["scale"]
+    dot, dot_bt = C["dot"], C["dot_bt"]
+    encode, cat_skip, pe_backward = (C["encode"], C["cat_skip"],
+                                     C["pe_backward"])
+
+    def kernel(pts_ref, *refs):
+        w_refs = refs[:L]
+        b_refs = refs[L:2 * L]
+        out_ref, grad_ref, stash_ref = (refs[2 * L], refs[2 * L + 1],
+                                        refs[2 * L + 2])
+        a_s = refs[2 * L + 3]                       # [L, B, MAXW] scratch
+
+        B = pts_ref.shape[0]
+        xyz = pts_ref[:, :d_raw] * scale
+        enc, _ = encode(xyz)
+
+        x = enc
+        for l in range(L):
+            if l in skip:
+                x = cat_skip(x, enc, l, B)
+            a = dot(x[:, :ins_p[l]], w_refs[l][:, :]) + b_refs[l][0, :]
+            a_s[l, :, :outs_p[l]] = a
+            pad = MAXW - outs_p[l]
+            row = a if not pad else jnp.concatenate(
+                [a, jnp.zeros((B, pad), jnp.float32)], -1)
+            stash_ref[:, l * MAXW:(l + 1) * MAXW] = row.astype(jnp.bfloat16)
+            x = jnp.logaddexp(0.0, a * 100.0) * 0.01 if l < L - 1 else a
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, OP), 1)
+        out_ref[:, :] = x * jnp.where(col == 0, 1.0 / scale, 1.0)
+
+        r = jnp.where(col == 0, 1.0 / scale, 0.0)
+        r_enc = jnp.zeros((B, EP), jnp.float32)
+        for l in range(L - 1, -1, -1):
+            r_in = dot_bt(r[:, :outs_p[l]], w_refs[l][:, :])
+            if l in skip:
+                r_in = r_in * C["inv_sqrt2"]
+                hw = ins[l] - d_embed
+                r_enc = r_enc + jnp.concatenate(
+                    [r_in[:, hw:ins[l]],
+                     jnp.zeros((B, EP - d_embed), jnp.float32)], -1)
+                colw = jax.lax.broadcasted_iota(jnp.int32, r_in.shape, 1)
+                r_in = jnp.where(colw < hw, r_in, 0.0)
+            if l == 0:
+                r_enc = r_enc + r_in[:, :EP]
+            else:
+                sig = jax.nn.sigmoid(100.0 * a_s[l - 1, :, :outs_p[l - 1]])
+                r = r_in[:, :outs_p[l - 1]] * sig
+        ct_u = pe_backward(xyz, r_enc)
+        g = ct_u * scale
+        grad_ref[:, :] = jnp.concatenate(
+            [g, jnp.zeros((B, LANE - d_raw), jnp.float32)], -1)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bwd_kernel_from_stash(cfg, bf16: bool):
+    """Backward that reads the fwd's bf16 pre-activation stash instead of
+    recomputing the primal forward: per layer, ONE tangent-forward dot
+    (B rows) + the two stacked reverse dots (2B rows) => 10S FLOPs/row vs
+    the full-remat stacked kernel's 12S.  Primal quantities (h, sigmoids)
+    are reconstructed from the bf16 stash — the same deviation class as the
+    core_act_bf16 residual default (bf16 rounding of pre-activations)."""
+    C = _specialize(cfg, bf16)
+    L, skip = C["L"], C["skip"]
+    d_raw, d_embed = C["d_raw"], C["d_embed"]
+    ins, outs, ins_p, outs_p = C["ins"], C["outs"], C["ins_p"], C["outs_p"]
+    EP, OP, MAXW, scale = C["EP"], C["OP"], C["MAXW"], C["scale"]
+    dot, dot_bt, dot_at = C["dot"], C["dot_bt"], C["dot_at"]
+    encode, cat_skip, pe_backward = (C["encode"], C["cat_skip"],
+                                     C["pe_backward"])
+    inv_sqrt2 = C["inv_sqrt2"]
+
+    def layer_input(l, h, enc, B):
+        return cat_skip(h, enc, l, B) if l in skip else h
+
+    def kernel(pts_ref, ct_out_ref, ct_g_ref, stash_ref, *refs):
+        w_refs = refs[:L]
+        b_refs = refs[L:2 * L]                      # noqa: F841 (unused:
+        ctx_ref = refs[2 * L]                       # biases live in stash)
+        ctw_refs = refs[2 * L + 1: 3 * L + 1]
+        ctb_refs = refs[3 * L + 1: 4 * L + 1]
+        ad_s = refs[4 * L + 1]                      # [L, B, MAXW] tangent
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for l in range(L):
+                ctw_refs[l][:, :] = jnp.zeros_like(ctw_refs[l])
+                ctb_refs[l][:, :] = jnp.zeros_like(ctb_refs[l])
+
+        B = pts_ref.shape[0]
+        xyz = pts_ref[:, :d_raw] * scale
+        v = ct_g_ref[:, :d_raw] * scale
+        enc, denc = encode(xyz, v)
+
+        def stash_a(l):
+            return stash_ref[:, l * MAXW: l * MAXW + outs_p[l]].astype(
+                jnp.float32)
+
+        # ---- tangent-only forward (primal comes from the stash) ----------
+        xd = denc
+        for l in range(L):
+            if l in skip:
+                xd = cat_skip(xd, denc, l, B)
+            ad = dot(xd[:, :ins_p[l]], w_refs[l][:, :])
+            ad_s[l, :, :outs_p[l]] = ad
+            if l < L - 1:
+                xd = jax.nn.sigmoid(100.0 * stash_a(l)) * ad
+
+        # ---- reverse over (primal, tangent), stacked dots ----------------
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, OP), 1)
+        colscale = jnp.where(col == 0, 1.0 / scale, 1.0)
+        r = ct_out_ref[:, :] * colscale
+        rd = jnp.where(col == 0, 1.0 / scale, 0.0)
+        r_enc = jnp.zeros((B, EP), jnp.float32)
+        r_denc = jnp.zeros((B, EP), jnp.float32)
+        for l in range(L - 1, -1, -1):
+            if l == 0:
+                x_l, xd_l = enc, denc
+            else:
+                a_prev = stash_a(l - 1)
+                sig_prev = jax.nn.sigmoid(100.0 * a_prev)
+                h_prev = jnp.logaddexp(0.0, a_prev * 100.0) * 0.01
+                hd_prev = sig_prev * ad_s[l - 1, :, :outs_p[l - 1]]
+                x_l = layer_input(l, h_prev, enc, B)
+                xd_l = layer_input(l, hd_prev, denc, B)
+            X2 = jnp.concatenate([x_l[:, :ins_p[l]], xd_l[:, :ins_p[l]]], 0)
+            R2 = jnp.concatenate([r[:, :outs_p[l]], rd[:, :outs_p[l]]], 0)
+            ctw_refs[l][:, :] += dot_at(X2, R2)
+            ctb_refs[l][:, :] += jnp.sum(r[:, :outs_p[l]], axis=0,
+                                         keepdims=True)
+            R_in = dot_bt(R2, w_refs[l][:, :])
+            r_in, rd_in = R_in[:B], R_in[B:]
+            if l in skip:
+                r_in = r_in * inv_sqrt2
+                rd_in = rd_in * inv_sqrt2
+                hw = ins[l] - d_embed
+                zp = jnp.zeros((B, EP - d_embed), jnp.float32)
+                r_enc = r_enc + jnp.concatenate([r_in[:, hw:ins[l]], zp], -1)
+                r_denc = r_denc + jnp.concatenate([rd_in[:, hw:ins[l]], zp],
+                                                  -1)
+                colw = jax.lax.broadcasted_iota(jnp.int32, r_in.shape, 1)
+                r_in = jnp.where(colw < hw, r_in, 0.0)
+                rd_in = jnp.where(colw < hw, rd_in, 0.0)
+            if l == 0:
+                r_enc = r_enc + r_in[:, :EP]
+                r_denc = r_denc + rd_in[:, :EP]
+            else:
+                a_prev = stash_a(l - 1)
+                ad_prev = ad_s[l - 1, :, :outs_p[l - 1]]
+                sig = jax.nn.sigmoid(100.0 * a_prev)
+                dsig = 100.0 * sig * (1.0 - sig)
+                r_h = r_in[:, :outs_p[l - 1]]
+                rd_h = rd_in[:, :outs_p[l - 1]]
+                r = r_h * sig + rd_h * dsig * ad_prev
+                rd = rd_h * sig
+        ct_u = pe_backward(xyz, r_enc, r_denc, v)
+        ct_x = ct_u * scale
+        ctx_ref[:, :] = jnp.concatenate(
+            [ct_x, jnp.zeros((B, LANE - d_raw), jnp.float32)], -1)
 
     return kernel
 
@@ -460,20 +637,39 @@ def _interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True):
+def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True,
+               fwd_block_rows: "int | None" = None, stash: bool = False):
     """Returns f(ws, bs, x) -> (out [N,d_out], grad [N,3]) with custom VJP.
-    ws/bs are the UNPADDED effective per-layer weights/biases."""
+    ws/bs are the UNPADDED effective per-layer weights/biases.
+
+    fwd_block_rows decouples the forward kernel's row block from the
+    backward's: the bwd VMEM budget (stacked [L,2B,MAXW] stash) caps B at
+    256, but the fwd stash is half that, so the fwd can afford larger
+    blocks (longer matmuls amortize the serialized layer chain's per-matmul
+    pipeline latency — the measured limiter, BENCHMARKS.md).
+
+    stash=True: the fwd writes its pre-activations to HBM (bf16) and the
+    bwd reads them instead of recomputing the primal forward — 10S vs 12S
+    bwd FLOPs at ~2x(2 bytes/act) extra HBM traffic (VERDICT r4 item 3
+    experiment).  Implies fwd and bwd share block_rows (the stash array's
+    row padding must line up)."""
     C = _specialize(cfg, bf16)
     L = C["L"]
     ins_p, outs_p, OP, MAXW = C["ins_p"], C["outs_p"], C["OP"], C["MAXW"]
     d_out = C["dims"][-1]
-    fwd_kernel = _build_fwd_kernel(cfg, bf16)
-    bwd_kernel = (_build_bwd_kernel_stacked(cfg, bf16) if stacked
-                  else _build_bwd_kernel(cfg, bf16))
-    bwd_scratch = ([pltpu.VMEM((L, 2 * block_rows, MAXW), jnp.float32)]
-                   if stacked else
-                   [pltpu.VMEM((L, block_rows, MAXW), jnp.float32),
-                    pltpu.VMEM((L, block_rows, MAXW), jnp.float32)])
+    if stash:
+        fwd_block_rows = None           # shared row padding (see docstring)
+        fwd_kernel = _build_fwd_kernel_stashing(cfg, bf16)
+        bwd_kernel = _build_bwd_kernel_from_stash(cfg, bf16)
+        bwd_scratch = [pltpu.VMEM((L, block_rows, MAXW), jnp.float32)]
+    else:
+        fwd_kernel = _build_fwd_kernel(cfg, bf16)
+        bwd_kernel = (_build_bwd_kernel_stacked(cfg, bf16) if stacked
+                      else _build_bwd_kernel(cfg, bf16))
+        bwd_scratch = ([pltpu.VMEM((L, 2 * block_rows, MAXW), jnp.float32)]
+                       if stacked else
+                       [pltpu.VMEM((L, block_rows, MAXW), jnp.float32),
+                        pltpu.VMEM((L, block_rows, MAXW), jnp.float32)])
     # hand-counted MXU matmul FLOPs per padded row (see pallas_sdf FLOP
     # accounting).  S = sum of per-layer padded MAC counts; the fwd kernel
     # runs 2 matmul sweeps/row (forward dot + reverse dot_bt => 4S FLOPs),
@@ -482,6 +678,15 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True):
     S = sum(i * o for i, o in zip(ins_p, outs_p))
     FWD_FLOPS_PER_ROW = 4.0 * S
     BWD_FLOPS_PER_ROW = 12.0 * S
+    # analytic HBM bytes (see pallas_sdf byte accounting): per-row streamed
+    # blocks + the constant-index param/param-grad blocks once per call.
+    # fwd: read x [LANE], write out [OP] + grad [LANE]; params read once.
+    # bwd: read x [LANE] + ct_out [OP] + ct_grad [LANE], write ct_x [LANE];
+    # params read once, weight/bias grads written once (accumulated in the
+    # revisited VMEM blocks across the sequential grid).
+    PARAM_BYTES = 4.0 * sum(i * o + o for i, o in zip(ins_p, outs_p))
+    FWD_BYTES_PER_ROW = 4.0 * (2 * LANE + OP)
+    BWD_BYTES_PER_ROW = 4.0 * (3 * LANE + OP)
 
     def pad_params(ws, bs):
         ws_p = [_pad2(w, ins_p[l], outs_p[l]) for l, w in enumerate(ws)]
@@ -499,14 +704,48 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True):
                                       memory_space=pltpu.VMEM))
         return specs
 
+    fwd_rows = int(fwd_block_rows or block_rows)
+
     def run_fwd(ws, bs, x):
+        N = x.shape[0]
+        n_pad = _round_up(max(N, 8), fwd_rows)
+        x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(x)
+        ws_p, bs_p = pad_params(ws, bs)
+        grid = (n_pad // fwd_rows,)
+        log_flops(n_pad * FWD_FLOPS_PER_ROW)
+        log_bytes(n_pad * FWD_BYTES_PER_ROW + PARAM_BYTES)
+        out, grad = pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((fwd_rows, LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] + param_specs(),
+            out_specs=[
+                pl.BlockSpec((fwd_rows, OP), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((fwd_rows, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, OP), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((L, fwd_rows, MAXW), jnp.float32)],
+            interpret=_interpret(),
+        )(x_p, *ws_p, *bs_p)
+        return out[:N, :d_out], grad[:N, :3]
+
+    STASH_COLS = L * MAXW
+
+    def run_fwd_stash(ws, bs, x):
         N = x.shape[0]
         n_pad = _round_up(max(N, 8), block_rows)
         x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(x)
         ws_p, bs_p = pad_params(ws, bs)
         grid = (n_pad // block_rows,)
         log_flops(n_pad * FWD_FLOPS_PER_ROW)
-        out, grad = pl.pallas_call(
+        log_bytes(n_pad * (FWD_BYTES_PER_ROW + 2.0 * STASH_COLS)
+                  + PARAM_BYTES)
+        out, grad, stash_arr = pl.pallas_call(
             fwd_kernel,
             grid=grid,
             in_specs=[pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
@@ -516,15 +755,66 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, STASH_COLS), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_pad, OP), jnp.float32),
                 jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, STASH_COLS), jnp.bfloat16),
             ],
             scratch_shapes=[pltpu.VMEM((L, block_rows, MAXW), jnp.float32)],
             interpret=_interpret(),
         )(x_p, *ws_p, *bs_p)
-        return out[:N, :d_out], grad[:N, :3]
+        return out[:N, :d_out], grad[:N, :3], stash_arr
+
+    def run_bwd_stash(ws, bs, x, stash_arr, ct_out, ct_g):
+        N = x.shape[0]
+        n_pad = _round_up(max(N, 8), block_rows)
+        x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(x)
+        cto_p = jnp.zeros((n_pad, OP), jnp.float32).at[:N, :d_out].set(ct_out)
+        ctg_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(ct_g)
+        ws_p, bs_p = pad_params(ws, bs)
+        grid = (n_pad // block_rows,)
+        log_flops(n_pad * (BWD_FLOPS_PER_ROW - 2.0 * S))
+        log_bytes(n_pad * (BWD_BYTES_PER_ROW + 2.0 * STASH_COLS)
+                  + 2.0 * PARAM_BYTES)
+        out_specs = [pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)]
+        for l in range(L):          # accumulated across the sequential grid
+            out_specs.append(pl.BlockSpec((ins_p[l], outs_p[l]),
+                                          lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((ins_p[l], outs_p[l]), jnp.float32))
+        for l in range(L):
+            out_specs.append(pl.BlockSpec((1, outs_p[l]), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((1, outs_p[l]), jnp.float32))
+        res = pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            in_specs=(
+                [pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((block_rows, OP), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((block_rows, STASH_COLS), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] + param_specs()),
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=bwd_scratch,
+            interpret=_interpret(),
+        )(x_p, cto_p, ctg_p, stash_arr, *ws_p, *bs_p)
+        ct_x = res[0][:N, :3]
+        ct_ws = tuple(res[1 + l][: ws[l].shape[0], : ws[l].shape[1]]
+                      for l in range(L))
+        ct_bs = tuple(res[1 + L + l][0, : bs[l].shape[0]] for l in range(L))
+        return ct_ws, ct_bs, ct_x
 
     def run_bwd(ws, bs, x, ct_out, ct_g):
         N = x.shape[0]
@@ -535,6 +825,7 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True):
         ws_p, bs_p = pad_params(ws, bs)
         grid = (n_pad // block_rows,)
         log_flops(n_pad * BWD_FLOPS_PER_ROW)
+        log_bytes(n_pad * BWD_BYTES_PER_ROW + 2.0 * PARAM_BYTES)
         out_specs = [pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
         out_shapes = [jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)]
@@ -572,14 +863,22 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True):
 
     @jax.custom_vjp
     def geom(ws, bs, x):
+        if stash:
+            out, grad, _ = run_fwd_stash(ws, bs, x)
+            return out, grad
         return run_fwd(ws, bs, x)
 
     def geom_fwd(ws, bs, x):
-        return run_fwd(ws, bs, x), (ws, bs, x)
+        if stash:
+            out, grad, stash_arr = run_fwd_stash(ws, bs, x)
+            return (out, grad), (ws, bs, x, stash_arr)
+        return run_fwd(ws, bs, x), (ws, bs, x, None)
 
     def geom_bwd(res, cts):
-        ws, bs, x = res
+        ws, bs, x, stash_arr = res
         ct_out, ct_g = cts
+        if stash:
+            return run_bwd_stash(ws, bs, x, stash_arr, ct_out, ct_g)
         return run_bwd(ws, bs, x, ct_out, ct_g)
 
     geom.defvjp(geom_fwd, geom_bwd)
@@ -589,19 +888,30 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True):
 # stacked backward (3 matmuls/layer at 2x rows) is the default; =0 restores
 # the 6-matmul split-chain variant for A/B measurement (BENCHMARKS.md)
 STACKED_BWD = _os.environ.get("FNEUS_PG_STACKED", "1") == "1"
+# forward-kernel row block, decoupled from the backward's (see _make_geom);
+# 0/unset = same as FNEUS_PG_BLOCK
+FWD_BLOCK_ROWS = int(_os.environ.get("FNEUS_PG_BLOCK_FWD", "0")) or None
+# HBM-stash variant (fwd writes bf16 pre-activations, bwd skips the primal
+# recompute — see _make_geom); A/B measurement knob
+STASH_BWD = _os.environ.get("FNEUS_PG_HBM_STASH", "0") == "1"
 
 
 def sdf_value_grad_feat_pallas(params, cfg, x: jnp.ndarray,
                                bf16: bool = True,
                                block_rows: int = BLOCK_ROWS,
                                stacked: "bool | None" = None,
+                               fwd_block_rows: "int | None" = None,
+                               stash: "bool | None" = None,
                                ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                           jnp.ndarray]:
     """Drop-in fused replacement for fields.sdf_value_and_grad_feat:
     (sdf [N], feature [N, d_out-1], grad [N,3]), differentiable w.r.t.
     params (incl. weight-norm) and x."""
     ws, bs = effective_weights(params, cfg)
+    fb = fwd_block_rows if fwd_block_rows is not None else FWD_BLOCK_ROWS
     geom = _make_geom(cfg, bool(bf16), int(block_rows),
-                      STACKED_BWD if stacked is None else bool(stacked))
+                      STACKED_BWD if stacked is None else bool(stacked),
+                      None if fb is None else int(fb),
+                      STASH_BWD if stash is None else bool(stash))
     out, grad = geom(tuple(ws), tuple(bs), x)
     return out[:, 0], out[:, 1:], grad

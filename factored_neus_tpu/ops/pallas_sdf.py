@@ -55,10 +55,21 @@ BLOCK_ROWS = 1024
 # step, asserted by tests/test_pallas_geometry.py::test_flop_model.
 _FLOP_LOG = None
 
+# Companion hand-counted HBM byte accounting (VERDICT r3 item 7): XLA's
+# "bytes accessed" is likewise 0 for a pallas_call, so bench.py's hbm_frac
+# was a lower bound.  Each wrapper logs its analytic HBM traffic at trace
+# time: row-streamed blocks count reads of every input block + writes of
+# every output block at the PADDED shapes; constant-index blocks (weights,
+# accumulated weight-grads) count ONCE per call — Mosaic keeps revisited
+# blocks VMEM-resident across the sequential grid, fetching/spilling them a
+# single time.  VMEM scratch never touches HBM and is not counted.
+_BYTE_LOG = None
+
 
 def flop_log_start():
-    global _FLOP_LOG
+    global _FLOP_LOG, _BYTE_LOG
     _FLOP_LOG = []
+    _BYTE_LOG = []
 
 
 def flop_log_stop() -> float:
@@ -69,9 +80,23 @@ def flop_log_stop() -> float:
     return total
 
 
+def byte_log_stop() -> float:
+    """Returns total logged Pallas HBM bytes since flop_log_start, and
+    stops (call after flop_log_stop or standalone)."""
+    global _BYTE_LOG
+    total = float(sum(_BYTE_LOG)) if _BYTE_LOG else 0.0
+    _BYTE_LOG = None
+    return total
+
+
 def log_flops(n: float) -> None:
     if _FLOP_LOG is not None:
         _FLOP_LOG.append(float(n))
+
+
+def log_bytes(n: float) -> None:
+    if _BYTE_LOG is not None:
+        _BYTE_LOG.append(float(n))
 
 
 def on_tpu() -> bool:
@@ -253,6 +278,9 @@ def sdf_forward_pallas(params, cfg: "SDFConfig", pts: jnp.ndarray,
 
     # 2 FLOPs/MAC over the padded per-layer matmuls, all rows
     log_flops(n_pad * 2.0 * sum(i * o for i, o in zip(in_dims, out_dims)))
+    # HBM bytes: read x block-stream, write out block-stream, params once
+    log_bytes(4.0 * (n_pad * (LANE + out_cols)
+                     + sum(i * o + o for i, o in zip(in_dims, out_dims))))
     out = wrapped(pts_p, tuple(ws_p), tuple(bs_p))
 
     if full_out:

@@ -230,3 +230,68 @@ def test_flop_model():
                                   block_rows=block)
     PS.flop_log_start()
     assert PS.flop_log_stop() == 0.0
+
+
+def test_fwd_block_decoupled_matches():
+    """fwd_block_rows != bwd block_rows: values and gradients unchanged
+    (the blocks only partition work)."""
+    cfg, params, x = _setup(n=150)
+
+    def loss(params, x, fb):
+        s, f, g = PG.sdf_value_grad_feat_pallas(params, cfg, x, bf16=False,
+                                                block_rows=32,
+                                                fwd_block_rows=fb)
+        return _loss_terms(s, f, g, x)
+
+    l64 = float(loss(params, x, 64))
+    l_same = float(loss(params, x, None))
+    np.testing.assert_allclose(l64, l_same, rtol=1e-6)
+    g64, gx64 = jax.grad(loss, argnums=(0, 1))(params, x, 64)
+    gs, gxs = jax.grad(loss, argnums=(0, 1))(params, x, None)
+    np.testing.assert_allclose(np.asarray(gx64), np.asarray(gxs), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g64),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_hbm_stash_backward_close():
+    """FNEUS_PG_HBM_STASH variant: the bwd reads bf16 pre-activations from
+    the fwd's HBM stash instead of recomputing the primal chain.  The bf16
+    stash rounds the recomputed activations, so gradients track the f32
+    XLA reference within the same tolerance class as the bf16 matmul
+    default (direction + magnitude), and values are exact (the stash never
+    feeds the primal outputs)."""
+    cfg, params, x = _setup(n=150)
+
+    s_ref, f_ref, g_ref = F.sdf_value_and_grad_feat(params, cfg, x)
+    s, f, g = PG.sdf_value_grad_feat_pallas(params, cfg, x, bf16=False,
+                                            block_rows=64, stash=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+
+    def loss_stash(params, x):
+        s, f, g = PG.sdf_value_grad_feat_pallas(params, cfg, x, bf16=False,
+                                                block_rows=64, stash=True)
+        return _loss_terms(s, f, g, x)
+
+    def loss_ref(params, x):
+        s, f, g = F.sdf_value_and_grad_feat(params, cfg, x)
+        return _loss_terms(s, f, g, x)
+
+    gp, gx = jax.grad(loss_stash, argnums=(0, 1))(params, x)
+    rp, rx = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+
+    def check(a, b, name):
+        a = np.asarray(a).ravel()
+        b = np.asarray(b).ravel()
+        denom = np.linalg.norm(b)
+        assert denom > 0.0, name
+        rel = np.linalg.norm(a - b) / denom
+        assert rel < 0.05, f"{name}: relative grad error {rel:.4f}"
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * denom + 1e-12))
+        assert cos > 0.999, f"{name}: cosine {cos:.5f}"
+
+    check(gx, rx, "d/dx")
+    for i, (a, b) in enumerate(zip(jax.tree_util.tree_leaves(gp),
+                                   jax.tree_util.tree_leaves(rp))):
+        check(a, b, f"param[{i}]")

@@ -30,6 +30,8 @@ def main():
 
     stacked = bool(opt("--stacked", 1, int))
     block = opt("--block", 256, int)
+    fwd_block = opt("--fwd-block", 0, int) or None
+    stash = bool(opt("--stash", 0, int))
     n = opt("--n", 65536, int)
     steps = opt("--steps", 30, int)
 
@@ -45,7 +47,9 @@ def main():
     def fwd(params, x):
         s, f, g = PG.sdf_value_grad_feat_pallas(params, cfg, x,
                                                 block_rows=block,
-                                                stacked=stacked)
+                                                stacked=stacked,
+                                                fwd_block_rows=fwd_block,
+                                                stash=stash)
         return s.sum() + f.sum() + g.sum()
 
     @jax.jit
@@ -53,14 +57,18 @@ def main():
         def loss(params, x):
             s, f, g = PG.sdf_value_grad_feat_pallas(params, cfg, x,
                                                     block_rows=block,
-                                                    stacked=stacked)
+                                                    stacked=stacked,
+                                                    fwd_block_rows=fwd_block,
+                                                    stash=stash)
             eik = jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
             return jnp.mean(jnp.abs(s)) + jnp.mean(f ** 2) + eik
         gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
         return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(gp)) \
             + gx.sum()
 
-    out = {"stacked": stacked, "block": block, "n": n}
+    out = {"stacked": stacked, "block": block, "n": n,
+           **({"fwd_block": fwd_block} if fwd_block else {}),
+           **({"stash": True} if stash else {})}
     for name, fn in (("fwd_ms", fwd), ("fwdbwd_ms", fwdbwd)):
         float(fn(params, x))                        # compile + warm
         float(fn(params, x))
