@@ -704,10 +704,14 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True,
                                       memory_space=pltpu.VMEM))
         return specs
 
-    fwd_rows = int(fwd_block_rows or block_rows)
+    fwd_rows_cfg = int(fwd_block_rows or block_rows)
 
     def run_fwd(ws, bs, x):
         N = x.shape[0]
+        # clamp the fwd block to the bwd-block-padded input size so small
+        # inputs (render chunks, localization sweeps) don't pad up to the
+        # large default block and waste 2-3x compute
+        fwd_rows = min(fwd_rows_cfg, _round_up(max(N, 8), block_rows))
         n_pad = _round_up(max(N, 8), fwd_rows)
         x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:N, :3].set(x)
         ws_p, bs_p = pad_params(ws, bs)
@@ -890,7 +894,12 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True,
 STACKED_BWD = _os.environ.get("FNEUS_PG_STACKED", "1") == "1"
 # forward-kernel row block, decoupled from the backward's (see _make_geom);
 # 0/unset = same as FNEUS_PG_BLOCK
-FWD_BLOCK_ROWS = int(_os.environ.get("FNEUS_PG_BLOCK_FWD", "0")) or None
+# fwd kernel default row block: 512 (measured 3.88 -> 3.58 ms at the
+# production 65536-row shape — longer matmuls amortize the serialized
+# layer chain's per-matmul latency; 1024 exceeds the 16 MB scoped-VMEM
+# limit, .fullrun/geom_kernel_sweep.jsonl).  The bwd keeps BLOCK_ROWS=256:
+# its stacked [L,2B,MAXW] stash caps B.  0 = share the bwd block.
+FWD_BLOCK_ROWS = int(_os.environ.get("FNEUS_PG_BLOCK_FWD", "512")) or None
 # HBM-stash variant (fwd writes bf16 pre-activations, bwd skips the primal
 # recompute — see _make_geom); A/B measurement knob
 STASH_BWD = _os.environ.get("FNEUS_PG_HBM_STASH", "0") == "1"

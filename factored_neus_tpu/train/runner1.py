@@ -205,20 +205,27 @@ class Runner:
         self.iter_step = int(loaded["iter_step"])
 
     def file_backup(self):
-        """Snapshot the package + conf into recording/ (ref:exp_runner.py:240-251)."""
+        """Snapshot the code + conf into recording/ (ref:exp_runner.py:240-251).
+
+        Honors the conf's `general.recording` list like the reference: an
+        empty list records only the resolved config; a non-empty list
+        snapshots the whole installed package (the reference's dir list is
+        relative to its flat source tree, which has no analog here)."""
         rec = os.path.join(self.base_exp_dir, "recording")
         os.makedirs(rec, exist_ok=True)
-        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        for dirpath, _, files in os.walk(pkg_root):
-            if "__pycache__" in dirpath:
-                continue
-            rel = os.path.relpath(dirpath, os.path.dirname(pkg_root))
-            for fn in files:
-                if fn.endswith(".py"):
-                    dst = os.path.join(rec, rel)
-                    os.makedirs(dst, exist_ok=True)
-                    shutil.copyfile(os.path.join(dirpath, fn),
-                                    os.path.join(dst, fn))
+        if self.conf.get("general.recording", []):
+            pkg_root = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))
+            for dirpath, _, files in os.walk(pkg_root):
+                if "__pycache__" in dirpath:
+                    continue
+                rel = os.path.relpath(dirpath, os.path.dirname(pkg_root))
+                for fn in files:
+                    if fn.endswith(".py"):
+                        dst = os.path.join(rec, rel)
+                        os.makedirs(dst, exist_ok=True)
+                        shutil.copyfile(os.path.join(dirpath, fn),
+                                        os.path.join(dst, fn))
         shutil.copyfile(self.conf_path, os.path.join(rec, "config.conf"))
 
     # -- validation ---------------------------------------------------------

@@ -30,11 +30,15 @@ def main():
                         help="write a jax.profiler trace of the run to DIR")
     parser.add_argument("--debug_nans", default=False, action="store_true",
                         help="halt on the first NaN produced on device")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="PRNG seed for init + ray sampling (framework "
+                             "extension; the reference is unseeded)")
     args = parser.parse_args()
 
     with debug_nans(args.debug_nans), profiler_trace(args.profile):
         runner = Runner(args.conf, args.mode, args.case, args.is_continue,
-                        args.type, use_mesh_sharding=args.shard)
+                        args.type, use_mesh_sharding=args.shard,
+                        seed=args.seed)
         if args.mode == "train":
             runner.train()
         elif args.mode == "validate_image":

@@ -117,3 +117,28 @@ def test_cli_profile_flag_plumbs(cli, monkeypatch, tmp_path):
     for root, _, files in os.walk(d):
         found += files
     assert found, f"{cli} --profile produced no trace files"
+
+
+def test_file_backup_honors_recording_list(tmp_path):
+    """recording = [] must snapshot only the resolved conf (the reference
+    copies exactly the conf'd dir list, ref:exp_runner.py:240-251); a
+    non-empty list snapshots the package."""
+    from factored_neus_tpu.train.runner1 import Runner
+    from factored_neus_tpu.utils.hocon import parse_string
+
+    conf_p = tmp_path / "c.conf"
+    conf_p.write_text("general { recording = [] }\n")
+
+    r = Runner.__new__(Runner)
+    r.base_exp_dir = str(tmp_path / "exp")
+    r.conf_path = str(conf_p)
+    r.conf = parse_string(conf_p.read_text())
+    r.file_backup()
+    rec = tmp_path / "exp" / "recording"
+    assert (rec / "config.conf").exists()
+    assert not (rec / "factored_neus_tpu").exists()
+
+    conf_p.write_text('general { recording = [ ./ ] }\n')
+    r.conf = parse_string(conf_p.read_text())
+    r.file_backup()
+    assert (rec / "factored_neus_tpu" / "train" / "runner1.py").exists()

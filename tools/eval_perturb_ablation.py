@@ -40,10 +40,14 @@ def main():
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--draws", type=int, default=8,
                     help="independent perturb=1 jitter draws to render")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU tunnel free)")
     args = ap.parse_args()
     workdir = os.path.abspath(args.workdir)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))

@@ -31,6 +31,17 @@ for v in ("wmask", "womask"):
         t = t.replace("end_iter = 300000", "end_iter = 60000")
     open(p, "w").write(t)
 PY
+# --- short TPU jobs first: geometry-kernel experiment sweep (VERDICT r4
+# item 3) + the Pallas-in-shard_map composition check (item 5) ------------
+SWEEP=$RUN/geom_kernel_sweep.jsonl
+: > $SWEEP
+for cfgargs in "" "--fwd-block 512" "--fwd-block 1024" "--fwd-block 2048" \
+               "--stash 1" "--stash 1 --block 384"; do
+  echo "--- bench_geom_kernel $cfgargs $(date)" >> $SWEEP
+  timeout 900 python tools/bench_geom_kernel.py $cfgargs >> $SWEEP 2>&1 || true
+done
+echo "=== kernel sweep done; shard check start $(date) ==="
+timeout 1800 python bench.py --shard > $RUN/shard_check.json 2>&1 || true
 echo "=== stage1 wmask 300k start $(date) ==="
 time python exp_runner.py --mode train --conf $RUN/wmask.conf --case fake_scan --type dtu
 echo "=== stage2 lvis 10k start $(date) ==="
@@ -40,3 +51,7 @@ time python mateIllu.py --mode train --conf $RUN/wmask.conf --case fake_scan --t
 echo "=== womask 60k start $(date) ==="
 time python exp_runner.py --mode train --conf $RUN/womask.conf --case fake_scan --type dtu
 echo "=== FULL BUDGET RUN DONE $(date) ==="
+# chain the multi-seed 20k quality sweep (VERDICT r4 item 8) while the
+# chip is warm; its own log lives under .msq/
+/root/repo/tools/multiseed_quality.sh > /root/repo/.msq_run.log 2>&1 || true
+echo "=== MULTISEED CHAIN DONE rc=$? $(date) ==="
