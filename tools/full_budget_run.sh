@@ -33,14 +33,17 @@ for v in ("wmask", "womask"):
 PY
 # --- short TPU jobs first: geometry-kernel experiment sweep (VERDICT r4
 # item 3) + the Pallas-in-shard_map composition check (item 5) ------------
-SWEEP=$RUN/geom_kernel_sweep.jsonl
-: > $SWEEP
-for cfgargs in "" "--fwd-block 512" "--fwd-block 1024" "--fwd-block 2048" \
-               "--stash 1" "--stash 1 --block 384"; do
-  echo "--- bench_geom_kernel $cfgargs $(date)" >> $SWEEP
-  timeout 900 python tools/bench_geom_kernel.py $cfgargs >> $SWEEP 2>&1 || true
-done
-echo "=== kernel sweep done; shard check start $(date) ==="
+if [ -z "${FNEUS_SKIP_KERNEL_SWEEP:-}" ]; then
+  SWEEP=$RUN/geom_kernel_sweep.jsonl
+  : > $SWEEP
+  for cfgargs in "" "--fwd-block 512" "--fwd-block 1024" "--fwd-block 2048" \
+                 "--stash 1" "--stash 1 --block 384"; do
+    echo "--- bench_geom_kernel $cfgargs $(date)" >> $SWEEP
+    timeout 900 python tools/bench_geom_kernel.py $cfgargs >> $SWEEP 2>&1 || true
+  done
+  echo "=== kernel sweep done $(date) ==="
+fi
+echo "=== shard check start $(date) ==="
 timeout 1800 python bench.py --shard > $RUN/shard_check.json 2>&1 || true
 echo "=== stage1 wmask 300k start $(date) ==="
 time python exp_runner.py --mode train --conf $RUN/wmask.conf --case fake_scan --type dtu
