@@ -389,18 +389,18 @@ def _grad_dense(lin):
     return {"w": _np(lin.weight.grad).T, "b": _np(lin.bias.grad)}
 
 
-def _assert_grads_close(j, t, name):
+def _assert_grads_close(j, t, name, abs_tol=3e-4, rel_tol=2e-3):
     if isinstance(t, dict):
         for k in t:
-            _assert_grads_close(j[k], t[k], f"{name}.{k}")
+            _assert_grads_close(j[k], t[k], f"{name}.{k}", abs_tol, rel_tol)
         return
     if isinstance(t, (list, tuple)):
         for i, ti in enumerate(t):
-            _assert_grads_close(j[i], ti, f"{name}[{i}]")
+            _assert_grads_close(j[i], ti, f"{name}[{i}]", abs_tol, rel_tol)
         return
     j = np.asarray(j, np.float64)
     t = np.asarray(t, np.float64)
-    tol = 3e-4 + 2e-3 * max(np.max(np.abs(t)), 1e-8)
+    tol = abs_tol + rel_tol * max(np.max(np.abs(t)), 1e-8)
     d = np.max(np.abs(j.reshape(-1) - t.reshape(-1)))
     assert d <= tol, f"{name}: max|jax-torch|={d:.3e} > tol={tol:.3e}"
 
@@ -487,6 +487,141 @@ def test_stage1_param_grad_parity():
 
     jgrads = jax.grad(jloss)(jparams)
     _assert_grads_close(jgrads, tgrads, "grad")
+
+
+def test_stage2_param_grad_parity(monkeypatch):
+    """Stage-2 PARAMETER-GRADIENT parity: d(lvis+trace loss)/d(lvis,
+    indirect params) through the full lvis_render graph matches the torch
+    reference elementwise — the stage-2 analog of
+    test_stage1_param_grad_parity (ref:lvis.py:150-170, 89-92: only the
+    Lvis and IndirectLight networks train)."""
+    t_renderer, jcfg, jparams = _build_pair23()
+    t_lvis = t_renderer.lvis_network
+    t_indi = t_renderer.indiLgt_network
+    rays_o, rays_d, near, far = _rays(B=12)
+    B = rays_o.shape[0]
+    rng = np.random.RandomState(123)
+    theta_u = rng.rand(B, 4).astype(np.float32)
+    z_u = rng.rand(B, 4).astype(np.float32)
+
+    def t_np(x):
+        return torch.from_numpy(x)
+
+    def jloss(sub):
+        p = {**jparams, **sub}
+        out = JR.lvis_render(p, jcfg, jnp.asarray(rays_o),
+                             jnp.asarray(rays_d), jnp.asarray(near),
+                             jnp.asarray(far), jax.random.PRNGKey(0))
+        loss, _ = JL.stage2_losses(out, reduce=lambda x: x)
+        return loss
+
+    # deterministic sdf_mask from a jax forward (asserted equal to torch's
+    # in the output-parity test); compacts the torch queue like the ref does
+    _patch_rand(monkeypatch, [], [theta_u, z_u])
+    mask = np.asarray(JR.lvis_render(
+        jparams, jcfg, jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(near), jnp.asarray(far),
+        jax.random.PRNGKey(0))["sdf_mask"])
+    assert mask.sum() >= 4
+
+    # jax grads w.r.t. the trainable groups (fresh queue)
+    _, jq = _patch_rand(monkeypatch, [], [theta_u, z_u])
+    jgrads = jax.grad(jloss)({"lvis": jparams["lvis"],
+                              "indirect": jparams["indirect"]})
+    assert not jq
+
+    # torch side: reference loss transcribed from lvis.py:150-170
+    tq, _ = _patch_rand(monkeypatch, [theta_u[mask], z_u[mask]], [])
+    with torch.enable_grad():
+        t_out = t_renderer.lvis_render(t_np(rays_o), t_np(rays_d),
+                                       t_np(near), t_np(far))
+        F = torch.nn.functional
+        gt_lvis, pre_lvis = t_out["gt_lvis"], t_out["pre_lvis"]
+        gt_tr, pre_tr = (t_out["gt_trace_radiance"],
+                         t_out["pre_trace_radiance"])
+        sdf_mask = t_out["sdf_mask"]
+        lvis_error = gt_lvis - pre_lvis
+        lvis_loss = F.l1_loss(lvis_error, torch.zeros_like(lvis_error),
+                              reduction="sum") / (
+            sdf_mask[..., None].expand(gt_lvis.shape).sum() + 1e-6)
+        tr_error = (gt_tr - pre_tr) * sdf_mask[..., None, None]
+        tr_loss = F.l1_loss(tr_error, torch.zeros_like(tr_error),
+                            reduction="sum") / (
+            sdf_mask[..., None, None].expand(gt_tr.shape).sum() + 1e-6)
+        (lvis_loss + tr_loss).backward()
+    assert not tq
+
+    tgrads = {
+        "lvis": [_grad_dense(t_lvis.lvis[i]) for i in (0, 2, 4, 6, 8)],
+        "indirect": [_grad_dense(t_indi.indi[i]) for i in (0, 2, 4, 6, 8)],
+    }
+    # stage-2/3 tolerance: d(L1)/d(residual) = sign(residual), and residual
+    # elements inside the 3e-4 cross-framework OUTPUT tolerance can flip
+    # sign between frameworks, each shifting a grad leaf by ~1/n_elements —
+    # inherent to L1 at near-zero residuals, not a graph difference
+    # (measured worst leaves 4.1e-4 w / 7.8e-4 b at f32; structural errors
+    # show up 10-1000x above this)
+    _assert_grads_close(jgrads, tgrads, "grad2", abs_tol=1.2e-3, rel_tol=3e-3)
+
+
+def test_stage3_param_grad_parity(monkeypatch):
+    """Stage-3 PARAMETER-GRADIENT parity: d(rgb+encoder loss)/d(material
+    params) through the full mateIllu_render graph — BRDF auto-encoder,
+    net_cs, SG PBR with MC diffuse visibility — matches the torch
+    reference elementwise (ref:mateIllu.py:157-173, 91: only
+    EnvmapMaterialNetwork trains)."""
+    t_renderer, jcfg, jparams = _build_pair23()
+    t_mat = t_renderer.mateIllu_network
+    rays_o, rays_d, near, far = _rays(B=12)
+    n_lobe, nsamp = 16, 32
+    rng = np.random.RandomState(321)
+    vtheta_u = rng.rand(n_lobe, nsamp).astype(np.float32)
+    vphi_u = rng.rand(n_lobe, nsamp).astype(np.float32)
+    true_rgb = rng.rand(rays_o.shape[0], 3).astype(np.float32)
+    ones_mask = np.ones((rays_o.shape[0], 1), np.float32)
+
+    _, jq = _patch_rand(monkeypatch, [], [vtheta_u, vphi_u])
+
+    def jloss(sub):
+        p = {**jparams, **sub}
+        out = JR.mate_illu_render(p, jcfg, jnp.asarray(rays_o),
+                                  jnp.asarray(rays_d), jnp.asarray(near),
+                                  jnp.asarray(far), jax.random.PRNGKey(0))
+        loss, _ = JL.stage3_losses(out, jnp.asarray(true_rgb),
+                                   jnp.asarray(ones_mask),
+                                   reduce=lambda x: x)
+        return loss
+
+    jgrads = jax.grad(jloss)({"material": jparams["material"]})
+    assert not jq
+
+    tq, _ = _patch_rand(monkeypatch, [vtheta_u, vphi_u], [])
+    with torch.enable_grad():
+        t_out = t_renderer.mateIllu_render(
+            torch.from_numpy(rays_o), torch.from_numpy(rays_d),
+            torch.from_numpy(near), torch.from_numpy(far))
+        F = torch.nn.functional
+        rgb = t_out["rgb"]
+        sdf_mask = t_out["sdf_mask"]
+        t_rgb = torch.from_numpy(true_rgb)
+        t_mask = torch.from_numpy(ones_mask)
+        sdf_mask_sum = t_mask[sdf_mask].sum() + 1e-5
+        rgb_error = (rgb[sdf_mask] - t_rgb[sdf_mask]) * t_mask[sdf_mask]
+        rgb_loss = F.l1_loss(rgb_error, torch.zeros_like(rgb_error),
+                             reduction="sum") / sdf_mask_sum
+        (rgb_loss + t_out["encoder_loss"]).backward()
+    assert not tq
+
+    enc_lins = [t_mat.brdf_encoder_layer[i] for i in (0, 2, 4, 6, 8)]
+    dec_lins = [t_mat.brdf_decoder_layer[i] for i in (0, 2, 4)]
+    tgrads = {"material": {
+        "lgtSGs": _np(t_mat.lgtSGs.grad),
+        "brdf_encoder": [_grad_dense(l) for l in enc_lins],
+        "brdf_decoder": [_grad_dense(l) for l in dec_lins],
+        "net_cs": [_grad_dense(t_mat.net_cs[i]) for i in (0, 2, 4, 6, 8)],
+    }}
+    # same L1-sign-flip tolerance rationale as stage 2
+    _assert_grads_close(jgrads, tgrads, "grad3", abs_tol=6e-4, rel_tol=3e-3)
 
 
 # ---------------------------------------------------------------------------
