@@ -38,8 +38,11 @@ Modes:
                              then stage-2 and stage-3 lines
   python bench.py --stage1   only the stage-1 line
   python bench.py --curve    batch-scaling sweep 512..8192, one line each
-  python bench.py --shard    data-parallel step over all local devices
-                             (graceful no-op message on 1 device)
+  python bench.py --shard    data-parallel step over all local devices;
+                             on 1 device it still runs the 1-device-mesh
+                             composition check (Pallas kernels inside
+                             shard_map vs unsharded: bit-identity +
+                             rays/s), emitting a shard_check JSON line
 """
 import json
 import sys

@@ -391,10 +391,18 @@ def _grad_dense(lin):
 
 def _assert_grads_close(j, t, name, abs_tol=3e-4, rel_tol=2e-3):
     if isinstance(t, dict):
+        # key-set equality BEFORE recursing: an extra / misnamed leaf on
+        # the jax side must fail loudly, not be silently skipped
+        assert set(j) == set(t), (
+            f"{name}: grad-tree keys differ — jax-only "
+            f"{sorted(set(j) - set(t))}, torch-only {sorted(set(t) - set(j))}")
         for k in t:
             _assert_grads_close(j[k], t[k], f"{name}.{k}", abs_tol, rel_tol)
         return
     if isinstance(t, (list, tuple)):
+        assert len(j) == len(t), (
+            f"{name}: grad-tree lengths differ — jax {len(j)} vs "
+            f"torch {len(t)}")
         for i, ti in enumerate(t):
             _assert_grads_close(j[i], ti, f"{name}[{i}]", abs_tol, rel_tol)
         return
@@ -517,7 +525,8 @@ def test_stage2_param_grad_parity(monkeypatch):
 
     # deterministic sdf_mask from a jax forward (asserted equal to torch's
     # in the output-parity test); compacts the torch queue like the ref does
-    _patch_rand(monkeypatch, [], [theta_u, z_u])
+    _patch_rand(monkeypatch, [],
+                        [("r_theta", theta_u), ("rand_z", z_u)])
     mask = np.asarray(JR.lvis_render(
         jparams, jcfg, jnp.asarray(rays_o), jnp.asarray(rays_d),
         jnp.asarray(near), jnp.asarray(far),
@@ -525,13 +534,15 @@ def test_stage2_param_grad_parity(monkeypatch):
     assert mask.sum() >= 4
 
     # jax grads w.r.t. the trainable groups (fresh queue)
-    _, jq = _patch_rand(monkeypatch, [], [theta_u, z_u])
+    _, jq = _patch_rand(monkeypatch, [],
+                        [("r_theta", theta_u), ("rand_z", z_u)])
     jgrads = jax.grad(jloss)({"lvis": jparams["lvis"],
                               "indirect": jparams["indirect"]})
     assert not jq
 
     # torch side: reference loss transcribed from lvis.py:150-170
-    tq, _ = _patch_rand(monkeypatch, [theta_u[mask], z_u[mask]], [])
+    tq, _ = _patch_rand(monkeypatch,
+                           [("r_theta", theta_u[mask]), ("rand_z", z_u[mask])], [])
     with torch.enable_grad():
         t_out = t_renderer.lvis_render(t_np(rays_o), t_np(rays_d),
                                        t_np(near), t_np(far))
@@ -580,7 +591,8 @@ def test_stage3_param_grad_parity(monkeypatch):
     true_rgb = rng.rand(rays_o.shape[0], 3).astype(np.float32)
     ones_mask = np.ones((rays_o.shape[0], 1), np.float32)
 
-    _, jq = _patch_rand(monkeypatch, [], [vtheta_u, vphi_u])
+    _, jq = _patch_rand(monkeypatch, [],
+                        [("r_theta", vtheta_u), ("r_phi", vphi_u)])
 
     def jloss(sub):
         p = {**jparams, **sub}
@@ -595,7 +607,8 @@ def test_stage3_param_grad_parity(monkeypatch):
     jgrads = jax.grad(jloss)({"material": jparams["material"]})
     assert not jq
 
-    tq, _ = _patch_rand(monkeypatch, [vtheta_u, vphi_u], [])
+    tq, _ = _patch_rand(monkeypatch,
+                           [("r_theta", vtheta_u), ("r_phi", vphi_u)], [])
     with torch.enable_grad():
         t_out = t_renderer.mateIllu_render(
             torch.from_numpy(rays_o), torch.from_numpy(rays_d),
@@ -839,19 +852,36 @@ def _patch_rand(monkeypatch, torch_queue, jax_queue):
     jax: secondary.cal_indi_lgt / materials.get_diffuse_visibility draw
     jax.random.uniform with the same semantics (full-batch shapes — the
     static-shape design computes all rays and masks after, so the torch
-    queue holds the masked ROWS of the same master arrays)."""
+    queue holds the masked ROWS of the same master arrays).
+
+    Queue entries are (label, array): label must appear in the consuming
+    call-site's SOURCE LINE (e.g. "r_theta" / "rand_z" / "r_phi"), so a
+    swapped draw order between frameworks fails loudly even when the two
+    draws share a shape (theta/z and vtheta/vphi do)."""
+    import linecache
+
     tq = list(torch_queue)
     jq = list(jax_queue)
+
+    def assert_site(label):
+        fr = sys._getframe(2)           # the frame calling the fake
+        line = linecache.getline(fr.f_code.co_filename, fr.f_lineno)
+        assert label in line, (
+            f"RNG draw order mismatch: expected the '{label}' draw but the "
+            f"consuming line is {fr.f_code.co_filename}:{fr.f_lineno}: "
+            f"{line.strip()!r}")
 
     def fake_rand(*size, **kw):
         if len(size) == 1 and isinstance(size[0], (tuple, list)):
             size = tuple(size[0])
-        arr = tq.pop(0)
+        label, arr = tq.pop(0)
+        assert_site(label)
         assert tuple(size) == arr.shape, (size, arr.shape)
         return torch.from_numpy(np.ascontiguousarray(arr))
 
     def fake_uniform(key, shape=(), dtype=None, minval=0.0, maxval=1.0):
-        arr = jq.pop(0)
+        label, arr = jq.pop(0)
+        assert_site(label)
         assert tuple(shape) == arr.shape, (shape, arr.shape)
         return jnp.asarray(arr)
 
@@ -921,7 +951,8 @@ def test_lvis_render_full_graph_parity(monkeypatch):
     z_u = rng.rand(B, 4).astype(np.float32)
 
     # jax first: full-batch draws; gives us the (deterministic) sdf_mask
-    _, jq = _patch_rand(monkeypatch, [], [theta_u, z_u])
+    _, jq = _patch_rand(monkeypatch, [],
+                        [("r_theta", theta_u), ("rand_z", z_u)])
     j_out = JR.lvis_render(jparams, jcfg, jnp.asarray(rays_o),
                            jnp.asarray(rays_d), jnp.asarray(near),
                            jnp.asarray(far), jax.random.PRNGKey(0))
@@ -930,7 +961,8 @@ def test_lvis_render_full_graph_parity(monkeypatch):
     assert mask.sum() >= 4, "fixture must hit the surface on several rays"
 
     # torch side: the reference compacts to masked rays BEFORE drawing
-    tq, _ = _patch_rand(monkeypatch, [theta_u[mask], z_u[mask]], [])
+    tq, _ = _patch_rand(monkeypatch,
+                           [("r_theta", theta_u[mask]), ("rand_z", z_u[mask])], [])
     t_out = t_renderer.lvis_render(torch.from_numpy(rays_o),
                                    torch.from_numpy(rays_d),
                                    torch.from_numpy(near),
@@ -957,7 +989,8 @@ def test_mateillu_render_full_graph_parity(monkeypatch):
     vtheta_u = rng.rand(n_lobe, nsamp).astype(np.float32)
     vphi_u = rng.rand(n_lobe, nsamp).astype(np.float32)
 
-    _, jq = _patch_rand(monkeypatch, [], [vtheta_u, vphi_u])
+    _, jq = _patch_rand(monkeypatch, [],
+                        [("r_theta", vtheta_u), ("r_phi", vphi_u)])
     j_out = JR.mate_illu_render(jparams, jcfg, jnp.asarray(rays_o),
                                 jnp.asarray(rays_d), jnp.asarray(near),
                                 jnp.asarray(far), jax.random.PRNGKey(0))
@@ -965,7 +998,8 @@ def test_mateillu_render_full_graph_parity(monkeypatch):
     mask = np.asarray(j_out["sdf_mask"])
     assert mask.sum() >= 4
 
-    tq, _ = _patch_rand(monkeypatch, [vtheta_u, vphi_u], [])
+    tq, _ = _patch_rand(monkeypatch,
+                           [("r_theta", vtheta_u), ("r_phi", vphi_u)], [])
     t_out = t_renderer.mateIllu_render(torch.from_numpy(rays_o),
                                        torch.from_numpy(rays_d),
                                        torch.from_numpy(near),

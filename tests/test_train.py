@@ -342,23 +342,34 @@ def test_async_checkpoint_save(tmp_path):
         np.arange(12.0).reshape(3, 4))
     assert int(loaded["iter_step"]) == 7
 
-    # writer errors surface on the training thread at the next wait
+    # writer errors are keyed per directory: they surface on the training
+    # thread at the next save to the SAME directory and at the global
+    # drain (wait_for_async_saves / the atexit hook), never at saves to
+    # other directories
     bad = tmp_path / "file_in_the_way"
     bad.write_text("x")
     CK.save_checkpoint_async(str(bad / "sub"), 1, {"iter_step": 1})
-    # a previous failure must NOT drop the next (healthy) save: the new
-    # write starts before the old error re-raises
+    # a failure in one directory must NOT surface at — or drop — a healthy
+    # save to a DIFFERENT directory (the three stages save concurrently)
     good = tmp_path / "recovered"
-    with pytest.raises(RuntimeError, match="async checkpoint"):
-        CK.save_checkpoint_async(str(good), 2, {"iter_step": 2})
-    CK.wait_for_async_saves()
+    CK.save_checkpoint_async(str(good), 2, {"iter_step": 2})
     assert CK.latest_checkpoint(str(good)).endswith("ckpt_000002.npz")
+    # ... but the next save to the FAILED directory re-raises, and the new
+    # (also doomed) write it starts is not dropped by the raise
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        CK.save_checkpoint_async(str(bad / "sub"), 3, {"iter_step": 3})
 
     # read-only lookups never raise (nor clear) stale writer errors
-    CK.save_checkpoint_async(str(bad / "sub2"), 3, {"iter_step": 3})
     assert CK.latest_checkpoint(str(tmp_path / "nowhere")) is None
+
+    # the global drain surfaces a stale error from ANY directory — a
+    # failure in a directory the process never saves to again cannot
+    # silently vanish (runners call this at train-loop exit; the atexit
+    # hook covers abnormal exits)
     with pytest.raises(RuntimeError, match="async checkpoint"):
         CK.wait_for_async_saves()
+    # once surfaced, the error is cleared
+    CK.wait_for_async_saves()
 
 
 def test_normal_map_device_matches_host_formula():

@@ -17,7 +17,10 @@ def load_scalars(logdir):
         EventAccumulator)
     ea = EventAccumulator(logdir, size_guidance={"scalars": 0})
     ea.Reload()
-    return {t: [(e.step, e.value) for e in ea.Scalars(t)]
+    # sort by step: a resumed/restarted run appends non-monotonic steps,
+    # which would break at_or_before()'s early exit and the boundary stats
+    return {t: sorted(((e.step, e.value) for e in ea.Scalars(t)),
+                      key=lambda sv: sv[0])
             for t in ea.Tags()["scalars"]}
 
 

@@ -34,16 +34,20 @@ for v in ("wmask", "womask"):
 PY
 echo "=== womask 60k start $(date) ==="
 time python exp_runner.py --mode train --conf $RUN/womask.conf --case fake_scan --type dtu
-echo "=== womask 60k done rc=$? $(date) ==="
+rc=$?; echo "=== womask 60k done rc=$rc $(date) ==="
+[ $rc -ne 0 ] && exit $rc
 echo "=== stage1 wmask 300k start $(date) ==="
 time python exp_runner.py --mode train --conf $RUN/wmask.conf --case fake_scan --type dtu
-echo "=== stage1 wmask 300k done rc=$? $(date) ==="
+rc=$?; echo "=== stage1 wmask 300k done rc=$rc $(date) ==="
+[ $rc -ne 0 ] && exit $rc
 echo "=== stage2 lvis 10k start $(date) ==="
 time python lvis.py --mode train --conf $RUN/wmask.conf --case fake_scan --type dtu
-echo "=== stage2 done rc=$? $(date) ==="
+rc=$?; echo "=== stage2 done rc=$rc $(date) ==="
+[ $rc -ne 0 ] && exit $rc
 echo "=== stage3 mateIllu 40k start $(date) ==="
 time python mateIllu.py --mode train --conf $RUN/wmask.conf --case fake_scan --type dtu
-echo "=== stage3 done rc=$? $(date) ==="
+rc=$?; echo "=== stage3 done rc=$rc $(date) ==="
+[ $rc -ne 0 ] && exit $rc
 echo "=== FULL BUDGET RUN DONE $(date) ==="
 /root/repo/tools/multiseed_quality.sh > /root/repo/.msq_run.log 2>&1
 echo "=== MULTISEED CHAIN DONE rc=$? $(date) ==="
