@@ -38,6 +38,8 @@ Modes:
                              then stage-2 and stage-3 lines
   python bench.py --stage1   only the stage-1 line
   python bench.py --curve    batch-scaling sweep 512..8192, one line each
+  python bench.py --womask   stage-1 step at the womask configuration
+                             (n_outside=32 background NeRF++); best-of-3
   python bench.py --shard    data-parallel step over all local devices;
                              on 1 device it still runs the 1-device-mesh
                              composition check (Pallas kernels inside
@@ -101,7 +103,7 @@ def make_scene(n_views=4, H=128, W=128):
 
 def measure(batch: int, mesh=None, measure_steps: int = MEASURE_STEPS,
             stage: str = "stage1", with_mfu: bool = True,
-            k_steps: int = 1):
+            k_steps: int = 1, n_outside: int = 0):
     """Compile + time a train step at `batch` rays; returns a dict with
     rays/s and (stage 1) the Pallas-aware MFU numbers.
 
@@ -114,10 +116,13 @@ def measure(batch: int, mesh=None, measure_steps: int = MEASURE_STEPS,
     from factored_neus_tpu.train import stage1, stage2, stage3
     from factored_neus_tpu.train.common import TrainConfig, init_all_params
 
-    cfg = RendererConfig(n_samples=64, n_importance=64, n_outside=0,
+    cfg = RendererConfig(n_samples=64, n_importance=64, n_outside=n_outside,
                          up_sample_steps=4)
+    # n_outside > 0 is the womask configuration (confs/womask.conf:
+    # background NeRF++ on, mask_weight=0, cosine anneal)
     tcfg = TrainConfig(batch_size=batch, end_iter=300000, warm_up_end=5000,
-                       anneal_end=0.0, mask_weight=0.1)
+                       anneal_end=50000.0 if n_outside else 0.0,
+                       mask_weight=0.0 if n_outside else 0.1)
     params = init_all_params(jax.random.PRNGKey(0), cfg)
     mod = {"stage1": stage1, "stage2": stage2, "stage3": stage3}[stage]
     if k_steps > 1:
@@ -275,6 +280,28 @@ def main():
             # no MFU here: cost_analysis of the SPMD-partitioned module is
             # per-device, which would misreport against the fleet peak
         }))
+        return
+
+    if "--womask" in args:
+        # womask stage-1 step (background NeRF++ on, n_outside=32): the
+        # reference's flagship DTU configuration. Reports best-of-3
+        # windows like the headline (tunnel first-window low-read).
+        vals = []
+        for _ in range(3):
+            r = measure(BATCH, n_outside=32, k_steps=8)
+            vals.append(r)
+        best = max(vals, key=lambda r: r["rays_per_sec"])
+        print(json.dumps({
+            "metric": "stage1_womask_train_rays_per_sec_per_chip",
+            "value": round(best["rays_per_sec"], 1), "unit": "rays/s",
+            "batch": BATCH, "step_ms": round(best["step_ms"], 2),
+            "windows": [round(v["rays_per_sec"], 1) for v in vals],
+            **({"tflops_per_sec": round(best["tflops_per_sec"], 2),
+                "mfu": round(best["mfu"], 4)} if "mfu" in best else {}),
+            **({"hbm_frac": round(best["hbm_frac"], 3)}
+               if "hbm_frac" in best else {}),
+            "nerf_act_bf16": _os.environ.get("FNEUS_NERF_ACT_BF16", "0"),
+        }), flush=True)
         return
 
     if "--curve" in args:

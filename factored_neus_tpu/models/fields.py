@@ -281,24 +281,38 @@ def nerf_init(key, cfg: NeRFConfig):
             "rgb_linear": rgb_linear}
 
 
-def nerf_apply(params, cfg: NeRFConfig, input_pts, input_views):
+def nerf_apply(params, cfg: NeRFConfig, input_pts, input_views,
+               act_dtype=None):
     """(pts4, dirs) -> (density [N,1], rgb [N,3]). ref:fields.py:233-257.
 
     Skip wiring matches the reference NeRF: relu first, then concat
-    [embedded_pts, h] after layer i in skips.
+    [embedded_pts, h] after layer i in skips.  act_dtype=bf16 stores the
+    hidden activations (and their vjp residuals) at half width; inputs,
+    encodings, and the density/rgb heads stay f32 — same contract as
+    rendering_apply/sdf_apply.
     """
+    if act_dtype is None:
+        apply = M.dense_apply
+    else:
+        apply = lambda p, x: M.dense_apply_act(p, x, act_dtype)
     pts_e = positional_encoding(input_pts, cfg.multires)
     views_e = positional_encoding(input_views, cfg.multires_view)
     h = pts_e
     for i, lin in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(M.dense_apply(lin, h))
+        h = jax.nn.relu(apply(lin, h))
+        if act_dtype is not None:
+            h = h.astype(act_dtype)
         if i in cfg.skips:
-            h = jnp.concatenate([pts_e, h], axis=-1)
-    alpha = M.dense_apply(params["alpha_linear"], h)
-    feature = M.dense_apply(params["feature_linear"], h)
-    h = jnp.concatenate([feature, views_e], axis=-1)
-    h = jax.nn.relu(M.dense_apply(params["views_linear"], h))
-    rgb = M.dense_apply(params["rgb_linear"], h)
+            h = jnp.concatenate([pts_e.astype(h.dtype), h], axis=-1)
+    alpha = M.dense_apply(params["alpha_linear"],
+                          h.astype(jnp.float32) if act_dtype else h)
+    feature = apply(params["feature_linear"], h)
+    h = jnp.concatenate([feature, views_e.astype(feature.dtype)], axis=-1)
+    h = jax.nn.relu(apply(params["views_linear"], h))
+    if act_dtype is not None:
+        h = h.astype(act_dtype)
+    rgb = M.dense_apply(params["rgb_linear"],
+                        h.astype(jnp.float32) if act_dtype else h)
     return alpha, rgb
 
 

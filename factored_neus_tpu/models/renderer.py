@@ -163,8 +163,17 @@ def render_core_outside(params, cfg: RendererConfig, rays_o, rays_d, z_vals,
     pts4 = jnp.concatenate([pts / dis_to_center, 1.0 / dis_to_center], -1)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (B, T, 3))
 
+    # bf16 activation storage for the background NeRF measured SLOWER
+    # (23.9k vs 24.6k rays/s): its f32 GEMMs already execute at bf16 MXU
+    # rate under the default TPU matmul precision, so the converts are
+    # pure overhead and the step is not HBM-bound (hbm_frac 0.87).
+    # Default stays f32; toggle kept for the BENCHMARKS.md womask ledger.
+    nerf_bf16 = (cfg.core_act_bf16
+                 and _os.environ.get("FNEUS_NERF_ACT_BF16", "0") == "1")
     density, color = F.nerf_apply(params["nerf"], cfg.nerf,
-                                  pts4.reshape(-1, 4), dirs.reshape(-1, 3))
+                                  pts4.reshape(-1, 4), dirs.reshape(-1, 3),
+                                  act_dtype=jnp.bfloat16 if nerf_bf16
+                                  else None)
     sampled_color = jax.nn.sigmoid(color).reshape(B, T, 3)
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(B, T)) * dists)
     weights = S.alpha_to_weights(alpha)

@@ -7,7 +7,12 @@ import numpy as np
 
 
 def make_fake_dtu_scene(out_dir: str, n_views: int = 3, H: int = 64,
-                        W: int = 80, radius: float = 3.0):
+                        W: int = 80, radius: float = 3.0,
+                        y_range=(0.4, 0.4)):
+    """Analytic-sphere DTU-format scene. y_range=(lo, hi) spreads camera
+    heights over the ring (default keeps the historical single-height
+    ring; (0.2, 1.2) approximates DTU's elevation arc for 49-view runs,
+    ref:models/dataset.py:41-96 49-64 view scans)."""
     import cv2 as cv
 
     os.makedirs(os.path.join(out_dir, "image"), exist_ok=True)
@@ -19,7 +24,11 @@ def make_fake_dtu_scene(out_dir: str, n_views: int = 3, H: int = 64,
     cameras = {}
     for i in range(n_views):
         ang = 2 * np.pi * i / n_views
-        c = np.array([radius * np.sin(ang), 0.4, -radius * np.cos(ang)])
+        # deterministic elevation sweep across the ring (triangle wave so
+        # neighbouring views differ in height, like a DTU scan arc)
+        frac = (i % 7) / 6.0 if n_views > 1 else 0.0
+        y = y_range[0] + (y_range[1] - y_range[0]) * frac
+        c = np.array([radius * np.sin(ang), y, -radius * np.cos(ang)])
         fwd = -c / np.linalg.norm(c)
         up = np.array([0.0, -1.0, 0.0])
         right = np.cross(up, fwd); right /= np.linalg.norm(right)

@@ -41,23 +41,26 @@ import jax.numpy as jnp
 from bench import make_scene
 
 
-def build_step(stage: str, batch: int):
+def build_step(stage: str, batch: int, n_outside: int = 0):
     from factored_neus_tpu.models.renderer import RendererConfig
     from factored_neus_tpu.train import stage1, stage2, stage3
     from factored_neus_tpu.train.common import TrainConfig, init_all_params
 
-    cfg = RendererConfig(n_samples=64, n_importance=64, n_outside=0,
+    cfg = RendererConfig(n_samples=64, n_importance=64, n_outside=n_outside,
                          up_sample_steps=4)
+    # womask (n_outside>0) uses mask_weight=0 + anneal (confs/womask.conf)
     tcfg = TrainConfig(batch_size=batch, end_iter=300000, warm_up_end=5000,
-                       anneal_end=0.0, mask_weight=0.1)
+                       anneal_end=50000.0 if n_outside else 0.0,
+                       mask_weight=0.0 if n_outside else 0.1)
     params = init_all_params(jax.random.PRNGKey(0), cfg)
     mod = {"stage1": stage1, "stage2": stage2, "stage3": stage3}[stage]
     opt_init, step_fn = mod.make_train_step(cfg, tcfg, mesh=None)
     return params, opt_init(params), step_fn
 
 
-def capture(stage: str, batch: int, steps: int, trace_dir: str) -> None:
-    params, opt_state, step_fn = build_step(stage, batch)
+def capture(stage: str, batch: int, steps: int, trace_dir: str,
+            n_outside: int = 0) -> None:
+    params, opt_state, step_fn = build_step(stage, batch, n_outside)
     data = make_scene()
     key = jax.random.PRNGKey(1)
     for it in range(3):                     # warmup incl. compile
@@ -181,10 +184,11 @@ def main():
     batch = opt("--batch", 512, int)
     topk = opt("--topk", 15, int)
     keep = opt("--keep", None, str)
+    n_outside = opt("--n-outside", 0, int)   # 32 = womask configuration
 
     trace_dir = keep or tempfile.mkdtemp(prefix="fneus_prof_")
     t0 = time.time()
-    capture(stage, batch, steps, trace_dir)
+    capture(stage, batch, steps, trace_dir, n_outside)
     print(f"trace captured in {time.time() - t0:.1f}s -> {trace_dir}")
     trace = load_trace(trace_dir)
     dev = device_lane_events(trace)
