@@ -45,7 +45,19 @@ from .pallas_sdf import (LANE, _pad1, _pad2, _round_up, effective_weights,
 
 import os as _os
 
-BLOCK_ROWS = int(_os.environ.get("FNEUS_PG_BLOCK", "256"))
+# Backward (fwd+bwd pipeline) row block.  512 beats 256 by ~1.7% on the
+# kernel microbench and ~2.3% end-to-end stage-1 (evidence/
+# geom_kernel_sweep.jsonl, r5 rows) once the scoped-VMEM budget below makes
+# it admissible; 1024 regresses (VMEM pressure crowds the double-buffer).
+BLOCK_ROWS = int(_os.environ.get("FNEUS_PG_BLOCK", "512"))
+
+# Mosaic scoped-VMEM budget (MiB) for these kernels.  The backend's default
+# 16 MiB scoped-vmem limit rejects fwd row blocks >= 1024 at COMPILE time
+# (evidence/geom_kernel_sweep.jsonl: "Scoped allocation ... exceeded scoped
+# vmem limit") even though v5e has 128 MiB physical VMEM per core; raising
+# the per-kernel limit makes larger blocks admissible so the block sweep
+# measures hardware, not a compiler default.  0 = keep the backend default.
+VMEM_LIMIT_MB = int(_os.environ.get("FNEUS_PG_VMEM_MB", "64"))
 
 
 def _dims(cfg):
@@ -636,6 +648,14 @@ def _interpret() -> bool:
     return not on_tpu()
 
 
+def _compiler_params():
+    """Per-kernel Mosaic params: raised scoped-VMEM budget (see
+    VMEM_LIMIT_MB).  None in interpret mode / when disabled."""
+    if _interpret() or VMEM_LIMIT_MB <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_MB * 2 ** 20)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True,
                fwd_block_rows: "int | None" = None, stash: bool = False):
@@ -734,6 +754,7 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True,
                 jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((L, fwd_rows, MAXW), jnp.float32)],
+            compiler_params=_compiler_params(),
             interpret=_interpret(),
         )(x_p, *ws_p, *bs_p)
         return out[:N, :d_out], grad[:N, :3]
@@ -768,6 +789,7 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True,
                 jax.ShapeDtypeStruct((n_pad, STASH_COLS), jnp.bfloat16),
             ],
             scratch_shapes=[pltpu.VMEM((L, block_rows, MAXW), jnp.float32)],
+            compiler_params=_compiler_params(),
             interpret=_interpret(),
         )(x_p, *ws_p, *bs_p)
         return out[:N, :d_out], grad[:N, :3], stash_arr
@@ -812,6 +834,7 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True,
             out_specs=out_specs,
             out_shape=out_shapes,
             scratch_shapes=bwd_scratch,
+            compiler_params=_compiler_params(),
             interpret=_interpret(),
         )(x_p, cto_p, ctg_p, stash_arr, *ws_p, *bs_p)
         ct_x = res[0][:N, :3]
@@ -857,6 +880,7 @@ def _make_geom(cfg, bf16: bool, block_rows: int, stacked: bool = True,
             out_specs=out_specs,
             out_shape=out_shapes,
             scratch_shapes=bwd_scratch,
+            compiler_params=_compiler_params(),
             interpret=_interpret(),
         )(x_p, cto_p, ctg_p, *ws_p, *bs_p)
         ct_x = res[0][:N, :3]
