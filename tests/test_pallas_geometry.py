@@ -295,3 +295,26 @@ def test_hbm_stash_backward_close():
     for i, (a, b) in enumerate(zip(jax.tree_util.tree_leaves(gp),
                                    jax.tree_util.tree_leaves(rp))):
         check(a, b, f"param[{i}]")
+
+
+def test_compiler_params_gating(monkeypatch):
+    """The raised scoped-VMEM budget (FNEUS_PG_VMEM_MB) must reach Mosaic
+    only on real-TPU lowering: interpret mode gets None (pl.pallas_call
+    rejects TPU CompilerParams off-TPU), and a non-positive budget keeps
+    the backend default."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    # off-TPU (this suite): interpret mode -> no compiler params
+    assert PG._interpret()
+    assert PG._compiler_params() is None
+
+    # pretend TPU lowering: params carry the env-scaled byte budget
+    monkeypatch.setattr(PG, "_interpret", lambda: False)
+    monkeypatch.setattr(PG, "VMEM_LIMIT_MB", 48)
+    cp = PG._compiler_params()
+    assert isinstance(cp, pltpu.CompilerParams)
+    assert cp.vmem_limit_bytes == 48 * 2 ** 20
+
+    # disabled -> backend default even when lowering for TPU
+    monkeypatch.setattr(PG, "VMEM_LIMIT_MB", 0)
+    assert PG._compiler_params() is None
